@@ -23,6 +23,7 @@ class RenderConfig:
     russian_roulette: bool = False     # extension (BASELINE.json config 5)
     rr_start_depth: int = 2
     normalize_emitter: bool = True     # ref lightRender normalizes irradiance (code.cl:617)
+    replicate_stale_poi: bool = False  # bug-compat: re-shade stale POI after escaped bounce
     use_grid: bool = False             # uniform-grid DDA vs brute-force matmul path
     n_slabs: int = 1                   # scene grid resolution (ref code.js:399)
     ray_chunk: int = 1 << 17           # rays per compute tile in chunked ops

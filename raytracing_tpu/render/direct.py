@@ -1,0 +1,68 @@
+"""Single-pass direct-lighting renderer — Assign08 analog.
+
+Schedule (ref Assign08-Shadow_Tracing/code.js:1194-1231):
+  initTrace -> closest hit -> for each light:
+    initShadowTrace -> occlusion -> sceneRender
+  copyToPixel with 1/n_lights divisor.
+
+Assign08 shading (ref Assign08 code.cl:916-939): shade = 0.2 ambient
++ clamp(dot(shadow_dir, n)) when unoccluded; pixel += material * clamp(shade).
+(No area/irradiance/r^2 terms — those arrive in Assign10.)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core.config import RenderConfig
+from ..core.sampling import sample_disk_point
+from ..core.types import Hits, Rays, Scene, replace
+from ..ops import intersect as I
+from . import stages
+from .camera import generate_primary_rays
+
+Array = jax.Array
+INF = jnp.inf
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_direct(scene: Scene, cfg: RenderConfig, key=None) -> Array:
+    """(H, W, 3) float image in [0,1]."""
+    if key is None:
+        key = rng.base_key(cfg.seed)
+    cam = replace(scene.camera, cols=cfg.width, rows=cfg.height)
+    rays = generate_primary_rays(cam, scene.bounds, scene.focal_length,
+                                 jnp.float32(0.0), cfg.spp, None)
+    hits = Hits.none(rays.n)
+    rays, hits = stages.trace_all(rays, hits, scene, cfg)
+
+    acc = jnp.zeros((rays.n, 3))
+    t_ax, b_ax = scene.lights.frames()
+    for li in range(scene.lights.count):
+        pos = scene.lights.position[li]
+        u = rng.uniform2(rng.draw_key(key, rng.LIGHT, 0, li), rays.n)
+        target = sample_disk_point(pos[None, :], t_ax[li][None, :],
+                                   b_ax[li][None, :],
+                                   scene.lights.radius[li][None], u)
+        origin = hits.p + cfg.shadow_eps * hits.n
+        delta = target - origin
+        dist = jnp.linalg.norm(delta, axis=-1)
+        sdir = delta / jnp.maximum(dist, 1e-20)[:, None]
+        shadow = Rays(o=origin, d=sdir,
+                      mint=jnp.where(hits.valid, 0.0, INF),
+                      maxt=jnp.where(hits.valid, dist, INF))
+        occ = stages.occluded_any(shadow, scene, cfg)
+
+        shade = jnp.full((rays.n,), cfg.ambient)
+        cosx = jnp.clip(jnp.sum(sdir * hits.n, -1), 0.0, 1.0)
+        shade = shade + jnp.where(~occ, cosx, 0.0)
+        albedo = scene.materials[jnp.maximum(hits.mat_id, 0), :3]
+        contrib = albedo * jnp.clip(shade, 0.0, 1.0)[:, None]
+        acc = acc + jnp.where(hits.valid[:, None], contrib, 0.0)
+
+    n_lights = max(scene.lights.count, 1)
+    img = acc.reshape(cfg.height, cfg.width, cfg.spp, 3).mean(2) / n_lights
+    return jnp.clip(img, 0.0, 1.0)
