@@ -1,0 +1,71 @@
+"""Benchmark: rays/s on the flagship progressive path tracer.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric definition (BASELINE.md): traced ray *segments* per second per chip on
+the Assign10-analog cornell scene. Segments/pass = primary + per-light
+(emitter test is free) shadow + bounces * (1 closest + n_lights shadow),
+matching how the reference's wavefront issues work (SURVEY §3.4).
+The reference publishes no numbers (BASELINE.json "published": {}), so
+vs_baseline is measured against the stored first-run value in
+bench_baseline.json (1.0 on the first run).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    import jax
+
+    from raytracing_tpu import RenderConfig
+    from raytracing_tpu.models.scenes import cornell_box
+    from raytracing_tpu.render import pathtracer
+
+    width = int(os.environ.get("BENCH_WIDTH", "1024"))
+    height = int(os.environ.get("BENCH_HEIGHT", "1024"))
+    passes = int(os.environ.get("BENCH_PASSES", "4"))
+    bounces = 5
+
+    cfg = RenderConfig(width=width, height=height, spp=1, bounces=bounces)
+    scene = cornell_box(cols=width, rows=height)
+
+    state = pathtracer.init_state(cfg)
+    # warm-up / compile the SAME n_passes program (n_passes is static)
+    state = pathtracer.render_passes(scene, state, cfg, passes)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    for _ in range(reps):
+        state = pathtracer.render_passes(scene, state, cfg, passes)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    n_lights = scene.lights.count
+    rays_per_pass = cfg.total_rays * (1 + n_lights + bounces * (1 + n_lights))
+    rays_per_s = rays_per_pass * passes * reps / dt
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f)["rays_per_s"]
+    else:
+        baseline = rays_per_s
+        with open(base_path, "w") as f:
+            json.dump({"rays_per_s": rays_per_s,
+                       "config": f"{width}x{height} spp1 b{bounces}"}, f)
+
+    print(json.dumps({
+        "metric": "pathtrace_rays_per_s",
+        "value": round(rays_per_s, 1),
+        "unit": "ray_segments/s/chip",
+        "vs_baseline": round(rays_per_s / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

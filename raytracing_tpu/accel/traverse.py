@@ -1,0 +1,205 @@
+"""3-axis DDA traversal of the uniform grid — device side.
+
+Reproduces the reference's slab march (ref sphereTrace
+Assign10-Path_Tracing/code.cl:675-800: per-axis init 696-733, march loop
+745-786; triangleTrace 802-935), re-shaped for a vector machine:
+
+  * all rays march in lockstep inside a ``lax.while_loop`` whose condition
+    is "any ray still active" — per-ray divergence becomes masking;
+  * per-cell object loops become fixed-K masked intersections against the
+    padded (n_cells, K) table (accel/grid.py);
+  * the early-exit ("champion found -> break", code.cl:775) becomes a
+    per-ray deactivation once the champion is known final
+    (best_t <= current cell entry t);
+  * duplicated objects across cells are harmless (hits idempotent,
+    SURVEY §7 quirk 9).
+
+Differentiability mirrors ops/closest_hit.py: the search runs under
+stop_gradient; champion t is recomputed differentiably from the winning
+object's parameters.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import Rays, Spheres, Triangles
+from ..ops.closest_hit import Champion, onehot_fetch
+from ..ops.intersect import aabb_window
+from .grid import Grid
+
+Array = jax.Array
+INF = jnp.inf
+
+
+def _init_dda(rays: Rays, grid: Grid):
+    o, d = rays.o, rays.d
+    tmin, tmax, ok = aabb_window(o, d, grid.pmin, grid.pmax)
+    tmin = jnp.maximum(tmin, rays.mint)
+    tmax_eff = jnp.minimum(tmax, rays.maxt)
+    active = ok & rays.alive & (tmin <= tmax_eff)
+
+    n = grid.n
+    width = (grid.pmax - grid.pmin) / n            # (3,)
+    width = jnp.where(width <= 0.0, 1e-30, width)
+    entry = o + tmin[:, None] * d                  # (R,3)
+    cell = jnp.clip(jnp.floor((entry - grid.pmin[None, :]) / width[None, :]),
+                    0, n - 1).astype(jnp.int32)    # (R,3)
+    pos_dir = d >= 0.0
+    step = jnp.where(pos_dir, 1, -1).astype(jnp.int32)
+    safe_d = jnp.where(d == 0.0, 1e-30, d)
+    t_delta = width[None, :] / jnp.abs(safe_d)
+    nxt = grid.pmin[None, :] + (cell + pos_dir.astype(jnp.int32)) * width[None, :]
+    t_next = (nxt - o) / safe_d
+    t_next = jnp.where(d == 0.0, INF, t_next)
+    return cell, step, t_delta, t_next, tmin, tmax_eff, active
+
+
+def _march(rays: Rays, grid: Grid, cell_test, R: int):
+    """Generic DDA march. ``cell_test(cell_id, window_lo, window_hi, active)
+    -> (t (R,), idx (R,))`` returns the best hit among the cell's items in
+    the given t-window (INF/-1 = none)."""
+    cell, step, t_delta, t_next, t_cur, t_exit, active = _init_dda(rays, grid)
+    n = grid.n
+    max_steps = 3 * n
+
+    def cond(carry):
+        s, _, _, _, active, _, _ = carry
+        return (s < max_steps) & active.any()
+
+    def body(carry):
+        s, cell, t_next, t_cur, active, best_t, best_i = carry
+        cell_id = cell[:, 2] * (n * n) + cell[:, 1] * n + cell[:, 0]
+        t, i = cell_test(cell_id, active)
+        better = active & (t < best_t)
+        best_t = jnp.where(better, t, best_t)
+        best_i = jnp.where(better, i, best_i)
+
+        # advance to next cell along the axis with smallest t_next
+        # (ref code.cl:757-785)
+        axis = jnp.argmin(t_next, axis=-1)               # (R,)
+        t_step = t_next.min(-1)
+        onehot = jax.lax.broadcasted_iota(jnp.int32, (R, 3), 1) == axis[:, None]
+        cell = cell + jnp.where(onehot, step, 0)
+        t_next = t_next + jnp.where(onehot, t_delta, 0.0)
+        out = (cell < 0).any(-1) | (cell >= n).any(-1) | (t_step > t_exit)
+        # champion final once its t precedes the next cell's entry
+        done = best_t <= t_step
+        active = active & ~out & ~done
+        return (s + 1, cell, t_next, t_step, active, best_t, best_i)
+
+    init = (jnp.int32(0), cell, t_next, t_cur, active,
+            jnp.full((R,), INF), jnp.full((R,), -1, jnp.int32))
+    _, _, _, _, _, best_t, best_i = jax.lax.while_loop(cond, body, init)
+    return best_t, best_i
+
+
+# ---------------------------------------------------------------------------
+# Spheres
+# ---------------------------------------------------------------------------
+
+def grid_closest_spheres(rays: Rays, spheres: Spheres, grid: Grid) -> Champion:
+    R = rays.n
+
+    def cell_test(cell_id, active):
+        items = grid.items[cell_id]                       # (R,K) gather
+        mask = (items >= 0) & active[:, None]
+        safe = jnp.maximum(items, 0)
+        c = spheres.center[safe]                          # (R,K,3)
+        r = spheres.radius[safe]                          # (R,K)
+        mask = mask & spheres.mask[safe]
+        omc = rays.o[:, None, :] - c
+        a = jnp.sum(rays.d * rays.d, -1)[:, None]
+        b = 2.0 * jnp.sum(omc * rays.d[:, None, :], -1)
+        cq = jnp.sum(omc * omc, -1) - r * r
+        dis = b * b - 4.0 * a * cq
+        has = dis >= 0.0
+        sq = jnp.sqrt(jnp.maximum(dis, 0.0))
+        inv2a = 0.5 / a
+        t0 = (-b - sq) * inv2a
+        t1 = (-b + sq) * inv2a
+        tmn = jnp.minimum(t0, t1)
+        tmx = jnp.maximum(t0, t1)
+        lo, hi = rays.mint[:, None], rays.maxt[:, None]
+        t = jnp.where((tmn >= lo) & (tmn <= hi), tmn,
+                      jnp.where((tmx >= lo) & (tmx <= hi), tmx, INF))
+        t = jnp.where(has & mask, t, INF)
+        k = jnp.argmin(t, -1)
+        rr = jnp.arange(R)
+        return t[rr, k], jnp.where(jnp.isfinite(t[rr, k]),
+                                   items[rr, k], -1)
+
+    best_t, best_i = jax.lax.stop_gradient(_march(rays, grid, cell_test, R))
+    valid = jnp.isfinite(best_t) & rays.alive
+
+    # differentiable recompute (same pattern as ops.closest_hit)
+    cr = onehot_fetch(jnp.concatenate([spheres.center,
+                                       spheres.radius[:, None]], -1),
+                      jnp.where(valid, best_i, -1))
+    c, r = cr[:, :3], cr[:, 3]
+    omc = rays.o - c
+    a = jnp.sum(rays.d * rays.d, -1)
+    b = 2.0 * jnp.sum(omc * rays.d, -1)
+    cq = jnp.sum(omc * omc, -1) - r * r
+    dis = b * b - 4.0 * a * cq
+    dis = jnp.where(valid & (dis > 0.0), dis, 1.0)
+    sq = jnp.sqrt(dis)
+    finite_best = jnp.where(valid, best_t, 0.0)
+    t0 = (-b - sq) * (0.5 / a)
+    t1 = (-b + sq) * (0.5 / a)
+    tt = jnp.where(jnp.abs(t0 - finite_best) <= jnp.abs(t1 - finite_best),
+                   t0, t1)
+    t = jnp.where(valid, tt, INF)
+    return Champion(t=t, idx=jnp.where(valid, best_i, -1), valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# Triangles
+# ---------------------------------------------------------------------------
+
+def grid_closest_triangles(rays: Rays, tris: Triangles, grid: Grid,
+                           two_sided: bool = False) -> Champion:
+    R = rays.n
+
+    def cell_test(cell_id, active):
+        items = grid.items[cell_id]                       # (R,K)
+        mask = (items >= 0) & active[:, None]
+        safe = jnp.maximum(items, 0)
+        v = tris.v[safe]                                  # (R,K,3,3)
+        mask = mask & tris.mask[safe]
+        p0, p1, p2 = v[:, :, 0], v[:, :, 1], v[:, :, 2]
+        e1 = p1 - p0
+        e2 = p2 - p0
+        dd = rays.d[:, None, :]
+        div = jnp.sum(jnp.cross(e2, e1) * dd, -1)         # (R,K)
+        side_ok = (div != 0.0) if two_sided else (div > 0.0)
+        safe_div = jnp.where(div == 0.0, 1.0, div)
+        idiv = 1.0 / safe_div
+        s = rays.o[:, None, :] - p0
+        beta = jnp.sum(jnp.cross(s, dd) * e2, -1) * idiv
+        gamma = jnp.sum(jnp.cross(s, e1) * dd, -1) * idiv
+        t = jnp.sum(jnp.cross(s, e2) * e1, -1) * -idiv
+        ok = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) & \
+            (beta + gamma <= 1.0) & (t >= rays.mint[:, None]) & \
+            (t <= rays.maxt[:, None]) & mask
+        t = jnp.where(ok, t, INF)
+        k = jnp.argmin(t, -1)
+        rr = jnp.arange(R)
+        return t[rr, k], jnp.where(jnp.isfinite(t[rr, k]),
+                                   items[rr, k], -1)
+
+    best_t, best_i = jax.lax.stop_gradient(_march(rays, grid, cell_test, R))
+    valid = jnp.isfinite(best_t) & rays.alive
+
+    T = tris.count
+    v = onehot_fetch(tris.v.reshape(T, 9), jnp.where(valid, best_i, -1)
+                     ).reshape(R, 3, 3)
+    p0 = v[:, 0]
+    e1 = v[:, 1] - p0
+    e2 = v[:, 2] - p0
+    n_geo = jnp.cross(e2, e1)
+    div = jnp.sum(rays.d * n_geo, -1)
+    safe_div = jnp.where(valid & (div != 0.0), div, 1.0)
+    t = jnp.sum((p0 - rays.o) * n_geo, -1) / safe_div
+    t = jnp.where(valid, t, INF)
+    return Champion(t=t, idx=jnp.where(valid, best_i, -1), valid=valid)

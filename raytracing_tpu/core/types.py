@@ -369,6 +369,7 @@ class MeshInstance:
     tris: Triangles
     bounds_min: Array
     bounds_max: Array
+    grid: Any = None           # accel.grid.Grid, built by prepare_grids
     nslabs: int = static_field(default=1)
 
     @property
@@ -398,6 +399,8 @@ class Scene:
     triangle_bounds_max: Array
     focal_length: Array      # ()
     lens_radius: Array       # () lens_diameter / 2
+    sphere_grid: Any = None    # accel.grid.Grid, built by prepare_grids
+    triangle_grid: Any = None
 
     @property
     def bounds(self) -> AABB:

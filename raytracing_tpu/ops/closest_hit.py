@@ -3,18 +3,24 @@
 The reference walks objects with per-work-item champion loops
 (ref sphereTrace Assign10-Path_Tracing/code.cl:745-786; molTrace
 Assign02 code.cl:205-215). Here the champion search is a chunked
-``lax.scan`` over the object axis with an all-pairs (R, C) tile per step —
-dense, branch-free, MXU-backed (see ops/intersect.py).
+``lax.scan`` over the object axis with an all-pairs **(O, R)** tile per
+step — objects on sublanes, rays on lanes (see the layout note in
+ops/intersect.py), dense, branch-free, MXU-backed.
 
-Differentiability design: the champion *search* runs under stop_gradient
-(integer argmin), then the winning object's parameters are gathered and the
-hit distance / normal are **recomputed differentiably** for the (R,)-sized
-champions only. Gradients are exact wherever the champion assignment is
-locally constant (a.e.), and the backward pass never re-traverses the scan.
+TPU-specific choices:
+  * champion reduction = min/argmin over the (small) sublane axis;
+  * champion attribute fetch = chunked ONE-HOT MATMUL instead of dynamic
+    gather (TPU gathers are slow; a (k, C) @ (C, R) contraction on the MXU
+    is not);
+  * any-hit skips argmin/attrs entirely (dense OR-reduce).
+
+Differentiability: the champion *search* runs under stop_gradient, then the
+hit distance / normals are recomputed differentiably for the (R,)-sized
+champions from one-hot-fetched object parameters. Gradients are exact
+wherever the champion assignment is locally constant (a.e.).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -41,22 +47,58 @@ def _pad_axis0(x: Array, to: int, fill=0):
     return jnp.concatenate([x, pad], axis=0)
 
 
-def _chunked_champion(ts_of_chunk, chunk_data, n_chunks: int, R: int):
-    """Generic champion scan. ``ts_of_chunk(data) -> (R, C) t-matrix``."""
+def _chunk(x: Array, n_chunks: int, C: int, fill=0):
+    return _pad_axis0(x, n_chunks * C, fill).reshape((n_chunks, C) + x.shape[1:])
+
+
+def _champion_scan(ts_of_chunk, chunk_data, R: int):
+    """Champion over chunked (C, R) t-matrices -> (best_t, best_idx)."""
     def body(carry, data):
         best_t, best_i, offset = carry
-        ts = ts_of_chunk(data)                       # (R, C)
-        cmin = ts.min(-1)
-        carg = jnp.argmin(ts, -1).astype(jnp.int32) + offset
+        ts = ts_of_chunk(data)                       # (C, R)
+        cmin = ts.min(0)
+        carg = jnp.argmin(ts, 0).astype(jnp.int32) + offset
         better = cmin < best_t
         best_t = jnp.where(better, cmin, best_t)
         best_i = jnp.where(better, carg, best_i)
-        return (best_t, best_i, offset + ts.shape[-1]), None
+        return (best_t, best_i, offset + ts.shape[0]), None
 
-    init = (jnp.full((R,), INF), jnp.full((R,), -1, jnp.int32),
-            jnp.int32(0))
+    init = (jnp.full((R,), INF), jnp.full((R,), -1, jnp.int32), jnp.int32(0))
     (best_t, best_i, _), _ = jax.lax.scan(body, init, chunk_data)
     return best_t, best_i
+
+
+def _anyhit_scan(hit_of_chunk, chunk_data, R: int):
+    def body(occ, data):
+        return occ | hit_of_chunk(data), None
+    occ, _ = jax.lax.scan(body, jnp.zeros((R,), bool), chunk_data)
+    return occ
+
+
+def onehot_fetch(data: Array, idx: Array, obj_chunk: int = 2048) -> Array:
+    """Fetch rows of ``data`` (O, k) at per-ray indices ``idx`` (R,) via
+    chunked one-hot matmuls: out (R, k) = sum_c onehot(C,R)^T-contracted
+    chunks. idx < 0 yields zeros. MXU-friendly replacement for gather."""
+    O, k = data.shape
+    C = min(obj_chunk, O)
+    n_chunks = -(-O // C)
+    dchunks = _chunk(data.astype(jnp.float32), n_chunks, C)
+
+    def body(carry, inp):
+        acc, offset = carry
+        dc = inp
+        local = idx - offset
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (C, idx.shape[0]), 0)
+                  == local[None, :]).astype(jnp.float32)     # (C, R)
+        acc = acc + jax.lax.dot_general(
+            onehot, dc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (R, k)
+        return (acc, offset + C), None
+
+    (out, _), _ = jax.lax.scan(
+        body, (jnp.zeros((idx.shape[0], k), jnp.float32), jnp.int32(0)),
+        dchunks)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -64,32 +106,34 @@ def _chunked_champion(ts_of_chunk, chunk_data, n_chunks: int, R: int):
 # ---------------------------------------------------------------------------
 
 def closest_hit_spheres(rays: Rays, spheres: Spheres, *,
-                        obj_chunk: int = 512,
+                        obj_chunk: int = 2048,
                         formulation: str = "matmul") -> Champion:
     """Closest valid sphere hit per ray (ref sphereTrace champion loop,
     code.cl:761-772, without the grid — the grid path lives in accel/)."""
     S = spheres.count
+    R = rays.n
     if S == 0:
-        return Champion(t=jnp.full((rays.n,), INF),
-                        idx=jnp.full((rays.n,), -1, jnp.int32),
-                        valid=jnp.zeros((rays.n,), bool))
+        return Champion(t=jnp.full((R,), INF),
+                        idx=jnp.full((R,), -1, jnp.int32),
+                        valid=jnp.zeros((R,), bool))
     C = min(obj_chunk, S)
     n_chunks = -(-S // C)
-    P = n_chunks * C
-
-    ts_fn = (I.sphere_ts_matmul if formulation == "matmul"
-             else I.sphere_ts_pairwise)
 
     def search(o, d, mint, maxt, center, radius, mask):
-        cen = _pad_axis0(center, P).reshape(n_chunks, C, 3)
-        rad = _pad_axis0(radius, P).reshape(n_chunks, C)
-        msk = _pad_axis0(mask, P, False).reshape(n_chunks, C)
+        cen = _chunk(center, n_chunks, C)
+        rad = _chunk(radius, n_chunks, C)
+        msk = _chunk(mask, n_chunks, C, False)
 
-        def chunk_ts(data):
-            c, r, m = data
-            return ts_fn(o, d, mint, maxt, c, r, m)
+        if formulation == "matmul":
+            def chunk_ts(data):
+                c, r, m = data
+                return I.sphere_ts_matmul(o, d, mint, maxt, c, r, m)
+        else:
+            def chunk_ts(data):
+                c, r, m = data
+                return I.sphere_ts_pairwise(o, d, mint, maxt, c, r, m).T
 
-        return _chunked_champion(chunk_ts, (cen, rad, msk), n_chunks, o.shape[0])
+        return _champion_scan(chunk_ts, (cen, rad, msk), R)
 
     best_t, best_i = jax.lax.stop_gradient(
         search(rays.o, rays.d, rays.mint, rays.maxt,
@@ -97,12 +141,12 @@ def closest_hit_spheres(rays: Rays, spheres: Spheres, *,
     valid = jnp.isfinite(best_t) & rays.alive
 
     # differentiable recompute for champions — single-object quadratic,
-    # (R,)-sized.  NaN-safety: non-champion lanes gather object 0 and can
-    # produce dis<0 / inf; sanitize *inputs* before sqrt/where so no NaN can
-    # leak through the backward pass of jnp.where (double-where pattern).
-    safe_i = jnp.maximum(best_i, 0)
-    c = spheres.center[safe_i]               # (R,3)
-    r = spheres.radius[safe_i]               # (R,)
+    # (R,)-sized.  NaN-safety: non-champion lanes can produce dis<=0 / inf;
+    # sanitize inputs before sqrt/where (double-where pattern).
+    cr = onehot_fetch(jnp.concatenate([spheres.center,
+                                       spheres.radius[:, None]], -1),
+                      jnp.where(valid, best_i, -1), obj_chunk)
+    c, r = cr[:, :3], cr[:, 3]
     omc = rays.o - c
     a = jnp.sum(rays.d * rays.d, -1)
     b = 2.0 * jnp.sum(omc * rays.d, -1)
@@ -113,7 +157,6 @@ def closest_hit_spheres(rays: Rays, spheres: Spheres, *,
     inv2a = 0.5 / a
     t0 = (-b - sq) * inv2a
     t1 = (-b + sq) * inv2a
-    # pick the root nearest to the (non-diff) champion t
     finite_best = jnp.where(valid, best_t, 0.0)
     tt = jnp.where(jnp.abs(t0 - finite_best) <= jnp.abs(t1 - finite_best),
                    t0, t1)
@@ -129,20 +172,37 @@ def sphere_hit_attrs(rays: Rays, spheres: Spheres, champ: Champion
     no inf/NaN enters the graph (their outputs are masked by mat_id = -1)."""
     t_safe = jnp.where(champ.valid, champ.t, 0.0)
     p = rays.at(t_safe)
-    safe_i = jnp.maximum(champ.idx, 0)
-    n = I.sphere_normal(p, spheres.center[safe_i])
-    mat = jnp.where(champ.valid, spheres.mat_id[safe_i], -1)
+    fetched = onehot_fetch(
+        jnp.concatenate([spheres.center,
+                         spheres.mat_id[:, None].astype(jnp.float32)], -1),
+        champ.idx)
+    center = fetched[:, :3]
+    mat = jnp.where(champ.valid, fetched[:, 3].astype(jnp.int32), -1)
+    n = I.sphere_normal(jnp.where(champ.valid[:, None], p, p + 1.0), center)
     return p, n, mat
 
 
-def anyhit_spheres(rays: Rays, spheres: Spheres, *, obj_chunk: int = 512,
+def anyhit_spheres(rays: Rays, spheres: Spheres, *, obj_chunk: int = 2048,
                    formulation: str = "matmul") -> Array:
-    """Occlusion test: any valid hit in the ray window (ref
-    sphereShadowTrace, code.cl:1073-1193 — early-break replaced by a dense
-    `any` reduce, which is the branch-free TPU equivalent)."""
-    champ = closest_hit_spheres(rays, spheres, obj_chunk=obj_chunk,
-                                formulation=formulation)
-    return champ.valid
+    """Occlusion: any valid hit in the ray window (ref sphereShadowTrace,
+    code.cl:1073-1193 — dense OR-reduce, no champion bookkeeping)."""
+    S = spheres.count
+    R = rays.n
+    if S == 0:
+        return jnp.zeros((R,), bool)
+    C = min(obj_chunk, S)
+    n_chunks = -(-S // C)
+    cen = _chunk(spheres.center, n_chunks, C)
+    rad = _chunk(spheres.radius, n_chunks, C)
+    msk = _chunk(spheres.mask, n_chunks, C, False)
+
+    def chunk_hit(data):
+        c, r, m = data
+        ts = I.sphere_ts_matmul(rays.o, rays.d, rays.mint, rays.maxt, c, r, m)
+        return jnp.isfinite(ts).any(0)
+
+    occ = _anyhit_scan(chunk_hit, (cen, rad, msk), R)
+    return occ & rays.alive
 
 
 # ---------------------------------------------------------------------------
@@ -150,23 +210,23 @@ def anyhit_spheres(rays: Rays, spheres: Spheres, *, obj_chunk: int = 512,
 # ---------------------------------------------------------------------------
 
 def closest_hit_triangles(rays: Rays, tris: Triangles, *,
-                          obj_chunk: int = 512,
+                          obj_chunk: int = 2048,
                           formulation: str = "matmul",
                           two_sided: bool = False) -> Champion:
     """Closest valid Möller–Trumbore hit per ray
     (ref triangleTrace, code.cl:802-935, sans grid)."""
     T = tris.count
+    R = rays.n
     if T == 0:
-        return Champion(t=jnp.full((rays.n,), INF),
-                        idx=jnp.full((rays.n,), -1, jnp.int32),
-                        valid=jnp.zeros((rays.n,), bool))
+        return Champion(t=jnp.full((R,), INF),
+                        idx=jnp.full((R,), -1, jnp.int32),
+                        valid=jnp.zeros((R,), bool))
     C = min(obj_chunk, T)
     n_chunks = -(-T // C)
-    P = n_chunks * C
 
     def search(o, d, mint, maxt, v, mask):
-        vp = _pad_axis0(v, P).reshape(n_chunks, C, 3, 3)
-        mp = _pad_axis0(mask, P, False).reshape(n_chunks, C)
+        vp = _chunk(v, n_chunks, C)
+        mp = _chunk(mask, n_chunks, C, False)
 
         if formulation == "matmul":
             def chunk_ts(data):
@@ -178,17 +238,16 @@ def closest_hit_triangles(rays: Rays, tris: Triangles, *,
             def chunk_ts(data):
                 vc, mc = data
                 return I.triangle_ts_pairwise(o, d, mint, maxt, vc, mc,
-                                              two_sided=two_sided)
-        return _chunked_champion(chunk_ts, (vp, mp), n_chunks, o.shape[0])
+                                              two_sided=two_sided).T
+        return _champion_scan(chunk_ts, (vp, mp), R)
 
     best_t, best_i = jax.lax.stop_gradient(
         search(rays.o, rays.d, rays.mint, rays.maxt, tris.v, tris.mask))
     valid = jnp.isfinite(best_t) & rays.alive
 
-    # differentiable recompute for champions (NaN-safe: div sanitized before
-    # the divide so invalid lanes cannot poison the backward pass)
-    safe_i = jnp.maximum(best_i, 0)
-    v = tris.v[safe_i]                           # (R,3,3)
+    # differentiable recompute for champions (NaN-safe)
+    v = onehot_fetch(tris.v.reshape(T, 9), jnp.where(valid, best_i, -1)
+                     ).reshape(R, 3, 3)
     p0 = v[:, 0]
     e1 = v[:, 1] - p0
     e2 = v[:, 2] - p0
@@ -206,14 +265,20 @@ def triangle_hit_attrs(rays: Rays, tris: Triangles, champ: Champion,
     """(p, interpolated normal, mat_id) at champion hits
     (ref triangleTrace code.cl:920-931; meshTrace single-matId variant
     code.cl:937-1070 → pass ``mat_id_override``)."""
+    T = tris.count
+    R = rays.n
     t_safe = jnp.where(champ.valid, champ.t, 0.0)
     p = rays.at(t_safe)
-    safe_i = jnp.maximum(champ.idx, 0)
-    v = tris.v[safe_i]
+    packed = jnp.concatenate([tris.v.reshape(T, 9), tris.vn.reshape(T, 9),
+                              tris.mat_id[:, None].astype(jnp.float32)], -1)
+    fetched = onehot_fetch(packed, champ.idx)
+    v = fetched[:, :9].reshape(R, 3, 3)
+    vn = fetched[:, 9:18].reshape(R, 3, 3)
     beta, gamma = I.triangle_barycentrics(rays.o, rays.d, v)
-    n = I.interpolate_normal(beta, gamma, tris.vn[safe_i])
+    # sanitize: invalid lanes have v == 0 -> div == 0 handled inside
+    n = I.interpolate_normal(beta, gamma, vn)
     if mat_id_override is None:
-        mat = tris.mat_id[safe_i]
+        mat = fetched[:, 18].astype(jnp.int32)
     else:
         mat = jnp.broadcast_to(jnp.asarray(mat_id_override, jnp.int32),
                                champ.idx.shape)
@@ -221,9 +286,24 @@ def triangle_hit_attrs(rays: Rays, tris: Triangles, champ: Champion,
     return p, n, mat
 
 
-def anyhit_triangles(rays: Rays, tris: Triangles, *, obj_chunk: int = 512,
+def anyhit_triangles(rays: Rays, tris: Triangles, *, obj_chunk: int = 2048,
                      formulation: str = "matmul",
                      two_sided: bool = False) -> Array:
-    champ = closest_hit_triangles(rays, tris, obj_chunk=obj_chunk,
-                                  formulation=formulation, two_sided=two_sided)
-    return champ.valid
+    T = tris.count
+    R = rays.n
+    if T == 0:
+        return jnp.zeros((R,), bool)
+    C = min(obj_chunk, T)
+    n_chunks = -(-T // C)
+    vp = _chunk(tris.v, n_chunks, C)
+    mp = _chunk(tris.mask, n_chunks, C, False)
+
+    def chunk_hit(data):
+        vc, mc = data
+        tc = I.tri_constants(vc)
+        ts = I.triangle_ts_matmul(rays.o, rays.d, rays.mint, rays.maxt,
+                                  tc, mc, two_sided=two_sided)
+        return jnp.isfinite(ts).any(0)
+
+    occ = _anyhit_scan(chunk_hit, (vp, mp), R)
+    return occ & rays.alive

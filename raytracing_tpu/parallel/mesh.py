@@ -1,0 +1,119 @@
+"""Multi-chip sharding: ray-axis data parallelism + object-axis
+"tensor parallelism" over a jax.sharding.Mesh.
+
+The reference's only parallel axis is the NDRange over rays on one OpenCL
+device (SURVEY §2.4). The TPU-native scaling design (new, per BASELINE.json):
+
+  * 'rays' axis  — shard the wavefront ray/accumulator buffers across chips
+                   (the NDRange analog). Scene read-only state is replicated,
+                   so the forward pass needs NO communication at all.
+  * 'obj' axis   — optionally shard the *object* axis: each chip intersects
+                   its object shard and champions are combined with an
+                   all-gather + min-reduce (the ray-tracing analog of TP).
+  * gradients    — parameters (geometry/materials/camera) are replicated;
+                   jit-with-shardings inserts the psum over 'rays' in the
+                   backward pass automatically, overlapped by XLA's
+                   latency-hiding scheduler.
+
+Multi-host: call init_distributed() (jax.distributed.initialize) first; the
+same code then spans hosts with DCN between slices.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import RenderConfig
+from ..core.types import Scene
+from ..render import pathtracer
+
+Array = jax.Array
+
+
+def init_distributed(**kw) -> None:
+    """Multi-host entry (no-op if single-process)."""
+    if jax.process_count() == 1 and not kw:
+        return
+    jax.distributed.initialize(**kw)
+
+
+def make_mesh(n_devices: int | None = None, obj_parallel: int = 1) -> Mesh:
+    """1-D or 2-D device mesh: ('rays',) or ('rays', 'obj')."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = np.asarray(devs[:n])
+    if obj_parallel > 1:
+        assert n % obj_parallel == 0
+        grid = devs.reshape(n // obj_parallel, obj_parallel)
+        return Mesh(grid, ("rays", "obj"))
+    return Mesh(devs.reshape(n), ("rays",))
+
+
+def _state_sharding(mesh: Mesh) -> dict:
+    ray_axes = "rays"
+    return {
+        "acc": NamedSharding(mesh, P(ray_axes, None)),
+        "key": NamedSharding(mesh, P()),
+        "passes": NamedSharding(mesh, P()),
+    }
+
+
+def shard_state(state: dict, mesh: Mesh) -> dict:
+    sh = _state_sharding(mesh)
+    return {k: jax.device_put(v, sh[k]) for k, v in state.items()}
+
+
+def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, rep), scene)
+
+
+def sharded_render_passes(mesh: Mesh, cfg: RenderConfig, n_passes: int):
+    """Compile a render-passes fn whose ray-indexed state is sharded over the
+    'rays' mesh axis. Scene is replicated; forward needs no collectives."""
+    sh = _state_sharding(mesh)
+    fn = jax.jit(
+        lambda scene, state: pathtracer.render_passes(scene, state, cfg,
+                                                      n_passes),
+        in_shardings=(None, sh),   # scene keeps its (replicated) placement
+        out_shardings=sh,
+    )
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Differentiable training step (the BASELINE.json fwd+bwd metric)
+# ---------------------------------------------------------------------------
+
+def make_train_step(mesh: Mesh, cfg: RenderConfig):
+    """Inverse-rendering step: L2 image loss against a target, gradients wrt
+    (sphere centers, radii, materials). Rays sharded; params replicated ->
+    XLA inserts the grad psum over 'rays' in backward."""
+    sh = _state_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+
+    def loss_fn(params, scene: Scene, state: dict, target: Array):
+        import dataclasses
+        spheres = dataclasses.replace(scene.spheres,
+                                      center=params["center"],
+                                      radius=params["radius"])
+        scene = dataclasses.replace(scene, spheres=spheres,
+                                    materials=params["materials"])
+        new_state = pathtracer._render_pass(scene, state, cfg)
+        img = pathtracer.image(new_state, cfg)
+        return jnp.mean((img - target) ** 2), new_state
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @partial(jax.jit,
+             in_shardings=(rep, None, sh, rep),
+             out_shardings=((rep, sh), rep))
+    def step(params, scene, state, target):
+        (loss, new_state), grads = grad_fn(params, scene, state, target)
+        return (loss, new_state), grads
+
+    return step

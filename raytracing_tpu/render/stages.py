@@ -31,6 +31,7 @@ from ..core.sampling import cosine_hemisphere, sample_disk_point
 from ..core.types import Hits, Lights, Rays, Scene, replace
 from ..ops import intersect as I
 from ..ops.closest_hit import (
+    anyhit_spheres, anyhit_triangles,
     closest_hit_spheres, closest_hit_triangles,
     sphere_hit_attrs, triangle_hit_attrs,
 )
@@ -70,8 +71,8 @@ def trace_all(rays: Rays, hits: Hits, scene: Scene, cfg: RenderConfig
     best = (best_t, best_p, best_n, best_mat)
 
     if scene.spheres.count:
-        if cfg.use_grid:
-            ch = grid_closest_spheres(rays, scene, cfg)
+        if cfg.use_grid and scene.sphere_grid is not None:
+            ch = grid_closest_spheres(rays, scene.spheres, scene.sphere_grid)
         else:
             ch = closest_hit_spheres(rays, scene.spheres,
                                      obj_chunk=cfg.obj_chunk)
@@ -79,9 +80,10 @@ def trace_all(rays: Rays, hits: Hits, scene: Scene, cfg: RenderConfig
         best = merge(ch, p, n, mat, best)
 
     if scene.triangles.count:
-        if cfg.use_grid:
+        if cfg.use_grid and scene.triangle_grid is not None:
             ch = grid_closest_triangles(rays, scene.triangles,
-                                        scene.triangle_bounds, cfg.n_slabs, cfg)
+                                        scene.triangle_grid,
+                                        two_sided=cfg.two_sided_triangles)
         else:
             ch = closest_hit_triangles(rays, scene.triangles,
                                        obj_chunk=cfg.obj_chunk,
@@ -90,9 +92,9 @@ def trace_all(rays: Rays, hits: Hits, scene: Scene, cfg: RenderConfig
         best = merge(ch, p, n, mat, best)
 
     for mesh in scene.meshes:
-        if cfg.use_grid:
-            ch = grid_closest_triangles(rays, mesh.tris, mesh.bounds,
-                                        mesh.nslabs, cfg)
+        if cfg.use_grid and mesh.grid is not None:
+            ch = grid_closest_triangles(rays, mesh.tris, mesh.grid,
+                                        two_sided=cfg.two_sided_triangles)
         else:
             ch = closest_hit_triangles(rays, mesh.tris,
                                        obj_chunk=cfg.obj_chunk,
@@ -123,28 +125,29 @@ def occluded_any(rays: Rays, scene: Scene, cfg: RenderConfig) -> Array:
         from ..accel.traverse import grid_closest_spheres, grid_closest_triangles
     occ = jnp.zeros((rays.n,), bool)
     if scene.spheres.count:
-        if cfg.use_grid:
-            occ |= grid_closest_spheres(rays, scene, cfg).valid
+        if cfg.use_grid and scene.sphere_grid is not None:
+            occ |= grid_closest_spheres(rays, scene.spheres,
+                                        scene.sphere_grid).valid
         else:
-            occ |= closest_hit_spheres(rays, scene.spheres,
-                                       obj_chunk=cfg.obj_chunk).valid
+            occ |= anyhit_spheres(rays, scene.spheres,
+                                  obj_chunk=cfg.obj_chunk)
     if scene.triangles.count:
-        if cfg.use_grid:
+        if cfg.use_grid and scene.triangle_grid is not None:
             occ |= grid_closest_triangles(rays, scene.triangles,
-                                          scene.triangle_bounds,
-                                          cfg.n_slabs, cfg).valid
+                                          scene.triangle_grid,
+                                          two_sided=cfg.two_sided_triangles).valid
         else:
-            occ |= closest_hit_triangles(rays, scene.triangles,
-                                         obj_chunk=cfg.obj_chunk,
-                                         two_sided=cfg.two_sided_triangles).valid
+            occ |= anyhit_triangles(rays, scene.triangles,
+                                    obj_chunk=cfg.obj_chunk,
+                                    two_sided=cfg.two_sided_triangles)
     for mesh in scene.meshes:
-        if cfg.use_grid:
-            occ |= grid_closest_triangles(rays, mesh.tris, mesh.bounds,
-                                          mesh.nslabs, cfg).valid
+        if cfg.use_grid and mesh.grid is not None:
+            occ |= grid_closest_triangles(rays, mesh.tris, mesh.grid,
+                                          two_sided=cfg.two_sided_triangles).valid
         else:
-            occ |= closest_hit_triangles(rays, mesh.tris,
-                                         obj_chunk=cfg.obj_chunk,
-                                         two_sided=cfg.two_sided_triangles).valid
+            occ |= anyhit_triangles(rays, mesh.tris,
+                                    obj_chunk=cfg.obj_chunk,
+                                    two_sided=cfg.two_sided_triangles)
     return occ
 
 

@@ -32,6 +32,8 @@ def test_sphere_ts_vs_oracle(rng, formulation):
     ts = np.array(fn(jnp.array(o), jnp.array(d), jnp.array(mint),
                      jnp.array(maxt), jnp.array(cen), jnp.array(rad),
                      jnp.ones(S, bool)))
+    if formulation == "matmul":  # matmul form is (S, R) — objects on sublanes
+        ts = ts.T
     ts_o = oracle.sphere_ts(o, d, mint, maxt, cen, rad)
     fin = np.isfinite(ts_o)
     assert (np.isfinite(ts) == fin).mean() > 0.999
@@ -48,7 +50,7 @@ def test_triangle_ts_vs_oracle(rng, formulation, two_sided):
     if formulation == "matmul":
         ts = I.triangle_ts_matmul(jnp.array(o), jnp.array(d), jnp.array(mint),
                                   jnp.array(maxt), I.tri_constants(jnp.array(v)),
-                                  jnp.ones(T, bool), two_sided=two_sided)
+                                  jnp.ones(T, bool), two_sided=two_sided).T
     else:
         ts = I.triangle_ts_pairwise(jnp.array(o), jnp.array(d), jnp.array(mint),
                                     jnp.array(maxt), jnp.array(v),
@@ -73,9 +75,9 @@ def test_sphere_window_clipping(rng):
     ts = np.array(I.sphere_ts_matmul(jnp.array(o), jnp.array(d),
                                      jnp.array(mint), jnp.array(maxt),
                                      jnp.array(cen), jnp.array(rad),
-                                     jnp.ones(1, bool)))
+                                     jnp.ones(1, bool)))  # (S, R)
     assert np.isclose(ts[0, 0], 4.0)
-    assert np.isclose(ts[1, 0], 6.0)  # near root 4.0 < mint -> far root
+    assert np.isclose(ts[0, 1], 6.0)  # near root 4.0 < mint -> far root
 
 
 def test_single_sided_rejects_backface():
@@ -88,13 +90,13 @@ def test_single_sided_rejects_backface():
     tc = I.tri_constants(jnp.array(v))
     ts = np.array(I.triangle_ts_matmul(jnp.array(o), jnp.array(d),
                                        jnp.array(mint), jnp.array(maxt),
-                                       tc, jnp.ones(1, bool)))
-    hits = np.isfinite(ts[:, 0])
+                                       tc, jnp.ones(1, bool)))  # (T, R)
+    hits = np.isfinite(ts[0, :])
     assert hits.sum() == 1  # exactly one side sees it
     ts2 = np.array(I.triangle_ts_matmul(jnp.array(o), jnp.array(d),
                                         jnp.array(mint), jnp.array(maxt),
                                         tc, jnp.ones(1, bool), two_sided=True))
-    assert np.isfinite(ts2[:, 0]).all()
+    assert np.isfinite(ts2[0, :]).all()
 
 
 def test_champion_matches_oracle_argmin(rng):
