@@ -32,16 +32,21 @@ def main() -> None:
     cfg = RenderConfig(width=width, height=height, spp=1, bounces=bounces)
     scene = cornell_box(cols=width, rows=height)
 
+    def fence(st):
+        # jax.block_until_ready is a no-op on some plugin backends (axon
+        # relay); fetching a value is the only reliable fence.
+        float(st["acc"].ravel()[0])
+
     state = pathtracer.init_state(cfg)
     # warm-up / compile the SAME n_passes program (n_passes is static)
     state = pathtracer.render_passes(scene, state, cfg, passes)
-    jax.block_until_ready(state)
+    fence(state)
 
     t0 = time.perf_counter()
     reps = int(os.environ.get("BENCH_REPS", "5"))
     for _ in range(reps):
         state = pathtracer.render_passes(scene, state, cfg, passes)
-    jax.block_until_ready(state)
+    fence(state)
     dt = time.perf_counter() - t0
 
     n_lights = scene.lights.count

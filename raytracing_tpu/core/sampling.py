@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .types import tangent_frame
+from .types import safe_normalize, tangent_frame
 
 Array = jax.Array
 
@@ -75,7 +75,7 @@ def cosine_hemisphere(normal: Array, u: Array) -> Array:
     y = xy[..., 1]
     z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
     d = x[..., None] * t + y[..., None] * b + z[..., None] * normal
-    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
+    return safe_normalize(d)
 
 
 def sample_disk_point(center: Array, t_axis: Array, b_axis: Array,

@@ -49,6 +49,18 @@ def replace(obj, **kw):
     return dataclasses.replace(obj, **kw)
 
 
+def safe_normalize(v: "Array", axis: int = -1) -> "Array":
+    """Normalize with a NaN-free backward pass at ``v = 0``.
+
+    ``v / max(norm(v), eps)`` still NaNs in reverse mode: d‖v‖/dv = v/‖v‖ is
+    0/0 at the origin and the max guards only the division. Guarding the
+    *squared* norm before rsqrt keeps both primal and cotangent finite
+    (masked lanes then see a constant, zero-gradient scale)."""
+    norm2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    safe = jnp.where(norm2 > 0.0, norm2, 1.0)
+    return v * jax.lax.rsqrt(safe)
+
+
 # ---------------------------------------------------------------------------
 # Rays
 # ---------------------------------------------------------------------------
@@ -87,8 +99,10 @@ def make_segment_rays(origin: Array, dst: Array) -> Rays:
     """Segment rays origin->dst with maxt = |dst-origin| (shadow rays).
     ref makeRay: Assign10-Path_Tracing/code.cl:121-129."""
     delta = dst - origin
-    dist = jnp.linalg.norm(delta, axis=-1)
-    d = delta / jnp.maximum(dist, 1e-20)[..., None]
+    dist = jnp.sqrt(jnp.where((delta != 0.0).any(-1),
+                              jnp.sum(delta * delta, -1), 1.0))
+    dist = jnp.where((delta != 0.0).any(-1), dist, 0.0)
+    d = safe_normalize(delta)
     return Rays(o=origin, d=d, mint=jnp.zeros_like(dist), maxt=dist)
 
 
@@ -243,11 +257,9 @@ def tangent_frame(normal: Array) -> tuple[Array, Array]:
     cum = jnp.cumsum(is_min.astype(jnp.int32), axis=-1)
     first_min = is_min & (cum == 1)
     v = jnp.where(first_min, 1.0, n)
-    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-    t = jnp.cross(v, n)
-    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
-    b = jnp.cross(n, t)
-    b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
+    v = safe_normalize(v)
+    t = safe_normalize(jnp.cross(v, n))
+    b = safe_normalize(jnp.cross(n, t))
     return t, b
 
 

@@ -30,8 +30,12 @@ from ..core.types import (
 from . import mesh_json as MJ
 
 
-def _vec3(elem: ET.Element, name: str) -> np.ndarray:
+def _vec3(elem: ET.Element, name: str, default=None) -> np.ndarray:
     e = elem.find(name)
+    if e is None:
+        if default is None:
+            raise KeyError(f"missing <{name}>")
+        return np.asarray(default, np.float32)
     return np.array([float(e.find("x").text),
                      float(e.find("y").text),
                      float(e.find("z").text)], np.float32)
@@ -64,13 +68,15 @@ def load_scene(path: str, cols: int = 320, rows: int = 240) -> Scene:
     focal_length = _num(xc, "focal_length", 1.0)
     lens_diameter = _num(xc, "lens_diameter", 0.0)
 
-    # lights (ref code.js:746-760)
+    # lights (ref code.js:746-760). Assign08-era scenes carry only
+    # <position> (point lights); normal/irradiance/radius default so the
+    # same loader covers both schema generations.
     lpos, lnrm, lirr, lrad = [], [], [], []
     for xl in root.findall("light"):
         lpos.append(_vec3(xl, "position"))
-        lnrm.append(_vec3(xl, "normal"))
-        lirr.append(_vec3(xl, "irradiance"))
-        lrad.append(_num(xl, "radius"))
+        lnrm.append(_vec3(xl, "normal", [0.0, -1.0, 0.0]))
+        lirr.append(_vec3(xl, "irradiance", [1.0, 1.0, 1.0]))
+        lrad.append(_num(xl, "radius", 0.0))
     lights = (Lights.make(np.stack(lpos), np.stack(lnrm), np.stack(lirr),
                           np.array(lrad, np.float32))
               if lpos else Lights.empty())

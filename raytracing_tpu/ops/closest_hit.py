@@ -75,6 +75,20 @@ def _anyhit_scan(hit_of_chunk, chunk_data, R: int):
     return occ
 
 
+def palette_lookup(table: Array, idx: Array) -> Array:
+    """(M, k) table, (R,) int idx -> (R, k). For small M (materials,
+    element colors) an unrolled masked sum beats both dynamic gather
+    (slow on TPU) and one-hot matmul (K-padding waste). idx < 0 or >= M
+    yields zeros."""
+    M = table.shape[0]
+    if M > 32:
+        return onehot_fetch(table, idx)
+    out = jnp.zeros((idx.shape[0], table.shape[1]), table.dtype)
+    for m in range(M):
+        out = out + jnp.where((idx == m)[:, None], table[m][None, :], 0.0)
+    return out
+
+
 def onehot_fetch(data: Array, idx: Array, obj_chunk: int = 2048) -> Array:
     """Fetch rows of ``data`` (O, k) at per-ray indices ``idx`` (R,) via
     chunked one-hot matmuls: out (R, k) = sum_c onehot(C,R)^T-contracted

@@ -107,8 +107,8 @@ def _sphere_select_t(a, b, c, mint, maxt, mask) -> Array:
 
 def sphere_normal(p: Array, center: Array) -> Array:
     """Outward normal at hit point (ref sphereTrace: code.cl:793)."""
-    n = p - center
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    from ..core.types import safe_normalize
+    return safe_normalize(p - center)
 
 
 # ---------------------------------------------------------------------------
@@ -218,9 +218,10 @@ def triangle_barycentrics(o: Array, d: Array, v: Array) -> tuple[Array, Array]:
 def interpolate_normal(beta: Array, gamma: Array, vn: Array) -> Array:
     """Barycentric normal interpolation, normalized
     (ref interp code.cl:405-411; use in triangleTrace code.cl:927)."""
+    from ..core.types import safe_normalize
     n = (1.0 - beta - gamma)[:, None] * vn[:, 0] \
         + beta[:, None] * vn[:, 1] + gamma[:, None] * vn[:, 2]
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    return safe_normalize(n)
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.types import AABB, Camera, Rays
+from ..core.types import AABB, Camera, Rays, safe_normalize
 from ..core.sampling import concentric_disk, stratified_lens_coords
 from ..ops.intersect import aabb_window
 
@@ -43,7 +43,7 @@ def film_point(cam: Camera, col: Array, row: Array) -> Array:
 def pinhole_rays(cam: Camera, col: Array, row: Array) -> Rays:
     """ref getRay (code.cl:108-119): o = eye, d = normalize(film point)."""
     cop = film_point(cam, col, row)
-    d = cop / jnp.linalg.norm(cop, axis=-1, keepdims=True)
+    d = safe_normalize(cop)
     n = col.shape[0]
     o = jnp.broadcast_to(cam.eye[None, :], (n, 3))
     return Rays(o=o, d=d, mint=jnp.zeros((n,)), maxt=jnp.full((n,), INF))
@@ -79,8 +79,7 @@ def thin_lens_rays(cam: Camera, focal_pt: Array, lens_radius,
     dxy = concentric_disk(lens_uv) * lens_radius
     o = cam.eye[None, :] + dxy[:, 0:1] * cam.u[None, :] \
         + dxy[:, 1:2] * cam.v[None, :]
-    d = focal_pt - o
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = safe_normalize(focal_pt - o)
     n = o.shape[0]
     return Rays(o=o, d=d, mint=jnp.zeros((n,)), maxt=jnp.full((n,), INF))
 

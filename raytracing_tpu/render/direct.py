@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..core import rng
 from ..core.config import RenderConfig
 from ..core.sampling import sample_disk_point
-from ..core.types import Hits, Rays, Scene, replace
+from ..core.types import Hits, Rays, Scene, replace, safe_normalize
 from ..ops import intersect as I
 from . import stages
 from .camera import generate_primary_rays
@@ -34,8 +34,11 @@ def render_direct(scene: Scene, cfg: RenderConfig, key=None) -> Array:
     if key is None:
         key = rng.base_key(cfg.seed)
     cam = replace(scene.camera, cols=cfg.width, rows=cfg.height)
+    # scene.lens_radius == 0 -> pinhole (Assign08); > 0 -> thin-lens DoF with
+    # stratified spp sampling (Assign09, ref initTrace code.cl:482-509)
     rays = generate_primary_rays(cam, scene.bounds, scene.focal_length,
-                                 jnp.float32(0.0), cfg.spp, None)
+                                 scene.lens_radius, cfg.spp,
+                                 rng.draw_key(key, rng.LENS))
     hits = Hits.none(rays.n)
     rays, hits = stages.trace_all(rays, hits, scene, cfg)
 
@@ -49,8 +52,10 @@ def render_direct(scene: Scene, cfg: RenderConfig, key=None) -> Array:
                                    scene.lights.radius[li][None], u)
         origin = hits.p + cfg.shadow_eps * hits.n
         delta = target - origin
-        dist = jnp.linalg.norm(delta, axis=-1)
-        sdir = delta / jnp.maximum(dist, 1e-20)[:, None]
+        d2 = jnp.sum(delta * delta, -1)
+        dist = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+        dist = jnp.where(d2 > 0.0, dist, 0.0)
+        sdir = safe_normalize(delta)
         shadow = Rays(o=origin, d=sdir,
                       mint=jnp.where(hits.valid, 0.0, INF),
                       maxt=jnp.where(hits.valid, dist, INF))
@@ -59,7 +64,8 @@ def render_direct(scene: Scene, cfg: RenderConfig, key=None) -> Array:
         shade = jnp.full((rays.n,), cfg.ambient)
         cosx = jnp.clip(jnp.sum(sdir * hits.n, -1), 0.0, 1.0)
         shade = shade + jnp.where(~occ, cosx, 0.0)
-        albedo = scene.materials[jnp.maximum(hits.mat_id, 0), :3]
+        from ..ops.closest_hit import palette_lookup
+        albedo = palette_lookup(scene.materials[:, :3], hits.mat_id)
         contrib = albedo * jnp.clip(shade, 0.0, 1.0)[:, None]
         acc = acc + jnp.where(hits.valid[:, None], contrib, 0.0)
 

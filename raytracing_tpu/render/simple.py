@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import Camera, Spheres
-from ..ops.closest_hit import closest_hit_spheres, sphere_hit_attrs
+from ..ops.closest_hit import closest_hit_spheres, onehot_fetch, \
+    sphere_hit_attrs
 from .camera import pinhole_rays, pixel_grid
 
 Array = jax.Array
@@ -32,7 +33,6 @@ def render_fake_shade(cam: Camera, spheres: Spheres, colors: Array,
     ch = closest_hit_spheres(rays, spheres, obj_chunk=obj_chunk)
     _, n, _ = sphere_hit_attrs(rays, spheres, ch)
     shade = jnp.einsum("j,ij->i", cam.w, n)
-    safe_i = jnp.maximum(ch.idx, 0)
-    rgb = colors[safe_i, :3] * shade[:, None]
+    rgb = onehot_fetch(colors[:, :3], ch.idx) * shade[:, None]
     img = jnp.where(ch.valid[:, None], rgb, 0.0)
     return img.reshape(cam.rows, cam.cols, 3)

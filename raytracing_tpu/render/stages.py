@@ -28,12 +28,12 @@ import jax.numpy as jnp
 from ..core import rng
 from ..core.config import RenderConfig
 from ..core.sampling import cosine_hemisphere, sample_disk_point
-from ..core.types import Hits, Lights, Rays, Scene, replace
+from ..core.types import Hits, Lights, Rays, Scene, replace, safe_normalize
 from ..ops import intersect as I
 from ..ops.closest_hit import (
     anyhit_spheres, anyhit_triangles,
     closest_hit_spheres, closest_hit_triangles,
-    sphere_hit_attrs, triangle_hit_attrs,
+    palette_lookup, sphere_hit_attrs, triangle_hit_attrs,
 )
 
 Array = jax.Array
@@ -214,8 +214,10 @@ def nee_shade(acc: Array, hits: Hits, scene: Scene, light_idx: int,
 
     origin = hits.p + cfg.shadow_eps * hits.n
     delta = target - origin
-    dist = jnp.linalg.norm(delta, axis=-1)
-    sdir = delta / jnp.maximum(dist, 1e-20)[:, None]
+    d2 = jnp.sum(delta * delta, -1)
+    dist = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+    dist = jnp.where(d2 > 0.0, dist, 0.0)
+    sdir = safe_normalize(delta)
     # invalid lanes get dead rays (ref code.cl:644-648)
     shadow = Rays(o=origin, d=sdir,
                   mint=jnp.where(valid, 0.0, INF),
@@ -230,7 +232,7 @@ def nee_shade(acc: Array, hits: Hits, scene: Scene, light_idx: int,
     free = valid & ~occ
     shade = jnp.where(free[:, None], geom[:, None] * irr[None, :], 0.0)
 
-    albedo = scene.materials[jnp.maximum(hits.mat_id, 0), :3]
+    albedo = palette_lookup(scene.materials[:, :3], hits.mat_id)
     contrib = jnp.where(valid[:, None],
                         hits.throughput * albedo * shade, 0.0)
     acc = acc + contrib

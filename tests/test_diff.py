@@ -1,0 +1,168 @@
+"""Gradients vs finite differences (SURVEY §4 item 3; BASELINE.json
+pixel-gradient allclose)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracing_tpu import RenderConfig, Camera, make_spheres, replace
+from raytracing_tpu.diff.fd import check_grad, finite_difference
+from raytracing_tpu.diff.soft import render_fake_shade_soft
+from raytracing_tpu.models.scenes import cornell_box
+from raytracing_tpu.render import pathtracer
+from raytracing_tpu.render.simple import render_fake_shade
+
+
+COLORS = jnp.array([[0.9, 0.4, 0.2, 1.0], [0.2, 0.5, 0.9, 1.0]])
+
+
+def _cam(cols=24, rows=18):
+    return Camera.look_at([0, 0, 3], [0, 0, 0], [0, 1, 0], 60.0, cols, rows)
+
+
+def _interior_mask(img_fn, x, thresh=0.0):
+    """Pixels whose 4-neighborhood is uniformly hit — visibility-stable
+    under small perturbations, where hard-renderer AD == FD."""
+    img = np.array(img_fn(x))
+    hit = img.sum(-1) > thresh
+    m = hit.copy()
+    m[1:] &= hit[:-1]
+    m[:-1] &= hit[1:]
+    m[:, 1:] &= hit[:, :-1]
+    m[:, :-1] &= hit[:, 1:]
+    # also erode once more for safety
+    m2 = m.copy()
+    m2[1:] &= m[:-1]; m2[:-1] &= m[1:]
+    m2[:, 1:] &= m[:, :-1]; m2[:, :-1] &= m[:, 1:]
+    return jnp.asarray(m2)
+
+
+def test_grad_sphere_center_interior():
+    cam = _cam()
+    radius = jnp.array([0.55, 0.35])
+    mask = None
+
+    def img_of(center):
+        sp = make_spheres(center, radius)
+        return render_fake_shade(cam, sp, COLORS)
+
+    center0 = jnp.array([[-0.4, 0.0, 0.0], [0.55, 0.1, 0.3]])
+    m = _interior_mask(img_of, center0)
+
+    def loss(center):
+        img = img_of(center)
+        return jnp.sum(img * m[:, :, None]) / jnp.sum(m)
+
+    check_grad(loss, center0, eps=1e-3, rtol=0.08, atol=1e-3)
+
+
+def test_grad_sphere_radius_interior():
+    cam = _cam()
+    center = jnp.array([[-0.4, 0.0, 0.0], [0.55, 0.1, 0.3]])
+
+    def img_of(radius):
+        sp = make_spheres(center, radius)
+        return render_fake_shade(cam, sp, COLORS)
+
+    r0 = jnp.array([0.55, 0.35])
+    m = _interior_mask(img_of, r0)
+
+    def loss(radius):
+        img = img_of(radius)
+        return jnp.sum(img * m[:, :, None]) / jnp.sum(m)
+
+    check_grad(loss, r0, eps=1e-3, rtol=0.08, atol=1e-3)
+
+
+def test_grad_camera_eye_interior():
+    radius = jnp.array([0.55, 0.35])
+    center = jnp.array([[-0.4, 0.0, 0.0], [0.55, 0.1, 0.3]])
+    sp = make_spheres(center, radius)
+
+    def img_of(eye):
+        cam = Camera.look_at(eye, [0, 0, 0], [0, 1, 0], 60.0, 24, 18)
+        return render_fake_shade(cam, sp, COLORS)
+
+    eye0 = jnp.array([0.0, 0.0, 3.0])
+    m = _interior_mask(img_of, eye0)
+
+    def loss(eye):
+        return jnp.sum(img_of(eye) * m[:, :, None]) / jnp.sum(m)
+
+    check_grad(loss, eye0, eps=1e-3, rtol=0.08, atol=1e-3)
+
+
+def test_grad_albedo_pathtracer_exact():
+    # albedo enters the estimator smoothly -> AD must match FD tightly
+    cfg = RenderConfig(width=16, height=12, spp=1, bounces=2, seed=7)
+    scene = cornell_box(cols=16, rows=12)
+
+    def loss(materials):
+        sc = replace(scene, materials=materials)
+        state = pathtracer.init_state(cfg)
+        state = pathtracer.render_passes(sc, state, cfg, 1)
+        return jnp.mean(state["acc"])
+
+    check_grad(loss, scene.materials, eps=1e-3, rtol=0.03, atol=1e-5)
+
+
+def test_grad_light_irradiance_linear():
+    # acc is LINEAR in irradiance through NEE -> grads exact
+    cfg = RenderConfig(width=12, height=8, spp=1, bounces=1, seed=3)
+    scene = cornell_box(cols=12, rows=8)
+
+    def loss(irr):
+        lights = dataclasses.replace(scene.lights, irradiance=irr)
+        sc = replace(scene, lights=lights)
+        state = pathtracer.init_state(cfg)
+        state = pathtracer.render_passes(sc, state, cfg, 1)
+        return jnp.mean(state["acc"])
+
+    check_grad(loss, scene.lights.irradiance, eps=1e-2, rtol=0.02, atol=1e-6)
+
+
+def test_soft_renderer_grad_everywhere():
+    cam = _cam(16, 12)
+    radius = jnp.array([0.55, 0.35])
+
+    def loss(center):
+        sp = make_spheres(center, radius)
+        img = render_fake_shade_soft(cam, sp, COLORS,
+                                     bandwidth=0.05, tau=0.05)
+        return jnp.mean(img)
+
+    center0 = jnp.array([[-0.4, 0.0, 0.0], [0.55, 0.1, 0.3]])
+    # includes silhouette motion: the soft renderer's AD matches its own FD
+    check_grad(loss, center0, eps=1e-3, rtol=0.05, atol=1e-5)
+
+
+def test_soft_converges_to_hard():
+    cam = _cam(32, 24)
+    center = jnp.array([[-0.4, 0.0, 0.0], [0.55, 0.1, 0.3]])
+    radius = jnp.array([0.55, 0.35])
+    sp = make_spheres(center, radius)
+    hard = np.array(render_fake_shade(cam, sp, COLORS))
+    soft = np.array(render_fake_shade_soft(cam, sp, COLORS,
+                                           bandwidth=1e-4, tau=1e-4))
+    # agree away from edges
+    diff = np.abs(hard - soft).max(-1)
+    assert np.quantile(diff, 0.9) < 5e-3
+
+
+def test_pathtracer_geometry_grad_finite():
+    # gradients wrt sphere centers through the full path tracer stay finite
+    cfg = RenderConfig(width=12, height=8, spp=1, bounces=2, seed=11)
+    scene = cornell_box(cols=12, rows=8)
+
+    def loss(center):
+        spheres = dataclasses.replace(scene.spheres, center=center)
+        sc = replace(scene, spheres=spheres)
+        state = pathtracer.init_state(cfg)
+        state = pathtracer.render_passes(sc, state, cfg, 1)
+        return jnp.mean(state["acc"])
+
+    g = jax.grad(loss)(scene.spheres.center)
+    assert np.isfinite(np.array(g)).all()
+    assert np.abs(np.array(g)).sum() > 0
