@@ -121,9 +121,13 @@ def onehot_fetch(data: Array, idx: Array, obj_chunk: int = 2048) -> Array:
 
 def closest_hit_spheres(rays: Rays, spheres: Spheres, *,
                         obj_chunk: int = 2048,
-                        formulation: str = "matmul") -> Champion:
+                        formulation: str = "matmul",
+                        use_pallas: bool = False) -> Champion:
     """Closest valid sphere hit per ray (ref sphereTrace champion loop,
-    code.cl:761-772, without the grid — the grid path lives in accel/)."""
+    code.cl:761-772, without the grid — the grid path lives in accel/).
+
+    ``use_pallas`` switches the champion search to the fused VMEM kernel
+    (ops/pallas/hit_kernels.py) — O(R) instead of O(O*R) HBM traffic."""
     S = spheres.count
     R = rays.n
     if S == 0:
@@ -149,9 +153,16 @@ def closest_hit_spheres(rays: Rays, spheres: Spheres, *,
 
         return _champion_scan(chunk_ts, (cen, rad, msk), R)
 
-    best_t, best_i = jax.lax.stop_gradient(
-        search(rays.o, rays.d, rays.mint, rays.maxt,
-               spheres.center, spheres.radius, spheres.mask))
+    if use_pallas:
+        from .pallas.hit_kernels import sphere_search_pallas
+        best_t, best_i = jax.lax.stop_gradient(sphere_search_pallas(
+            rays.o, rays.d, rays.mint, rays.maxt, spheres.center,
+            spheres.radius, spheres.mask,
+            interpret=jax.default_backend() == "cpu"))
+    else:
+        best_t, best_i = jax.lax.stop_gradient(
+            search(rays.o, rays.d, rays.mint, rays.maxt,
+                   spheres.center, spheres.radius, spheres.mask))
     valid = jnp.isfinite(best_t) & rays.alive
 
     # differentiable recompute for champions — single-object quadratic,
@@ -197,13 +208,21 @@ def sphere_hit_attrs(rays: Rays, spheres: Spheres, champ: Champion
 
 
 def anyhit_spheres(rays: Rays, spheres: Spheres, *, obj_chunk: int = 2048,
-                   formulation: str = "matmul") -> Array:
+                   formulation: str = "matmul",
+                   use_pallas: bool = False) -> Array:
     """Occlusion: any valid hit in the ray window (ref sphereShadowTrace,
     code.cl:1073-1193 — dense OR-reduce, no champion bookkeeping)."""
     S = spheres.count
     R = rays.n
     if S == 0:
         return jnp.zeros((R,), bool)
+    if use_pallas:
+        from .pallas.hit_kernels import sphere_search_pallas
+        t, _ = sphere_search_pallas(rays.o, rays.d, rays.mint, rays.maxt,
+                                    spheres.center, spheres.radius,
+                                    spheres.mask,
+                                    interpret=jax.default_backend() == "cpu")
+        return jnp.isfinite(t) & rays.alive
     C = min(obj_chunk, S)
     n_chunks = -(-S // C)
     cen = _chunk(spheres.center, n_chunks, C)
@@ -226,7 +245,8 @@ def anyhit_spheres(rays: Rays, spheres: Spheres, *, obj_chunk: int = 2048,
 def closest_hit_triangles(rays: Rays, tris: Triangles, *,
                           obj_chunk: int = 2048,
                           formulation: str = "matmul",
-                          two_sided: bool = False) -> Champion:
+                          two_sided: bool = False,
+                          use_pallas: bool = False) -> Champion:
     """Closest valid Möller–Trumbore hit per ray
     (ref triangleTrace, code.cl:802-935, sans grid)."""
     T = tris.count
@@ -255,8 +275,15 @@ def closest_hit_triangles(rays: Rays, tris: Triangles, *,
                                               two_sided=two_sided).T
         return _champion_scan(chunk_ts, (vp, mp), R)
 
-    best_t, best_i = jax.lax.stop_gradient(
-        search(rays.o, rays.d, rays.mint, rays.maxt, tris.v, tris.mask))
+    if use_pallas:
+        from .pallas.hit_kernels import triangle_search_pallas
+        best_t, best_i = jax.lax.stop_gradient(triangle_search_pallas(
+            rays.o, rays.d, rays.mint, rays.maxt, tris.v, tris.mask,
+            two_sided=two_sided,
+            interpret=jax.default_backend() == "cpu"))
+    else:
+        best_t, best_i = jax.lax.stop_gradient(
+            search(rays.o, rays.d, rays.mint, rays.maxt, tris.v, tris.mask))
     valid = jnp.isfinite(best_t) & rays.alive
 
     # differentiable recompute for champions (NaN-safe)
@@ -302,11 +329,18 @@ def triangle_hit_attrs(rays: Rays, tris: Triangles, champ: Champion,
 
 def anyhit_triangles(rays: Rays, tris: Triangles, *, obj_chunk: int = 2048,
                      formulation: str = "matmul",
-                     two_sided: bool = False) -> Array:
+                     two_sided: bool = False,
+                     use_pallas: bool = False) -> Array:
     T = tris.count
     R = rays.n
     if T == 0:
         return jnp.zeros((R,), bool)
+    if use_pallas:
+        from .pallas.hit_kernels import triangle_search_pallas
+        t, _ = triangle_search_pallas(rays.o, rays.d, rays.mint, rays.maxt,
+                                      tris.v, tris.mask, two_sided=two_sided,
+                                      interpret=jax.default_backend() == "cpu")
+        return jnp.isfinite(t) & rays.alive
     C = min(obj_chunk, T)
     n_chunks = -(-T // C)
     vp = _chunk(tris.v, n_chunks, C)

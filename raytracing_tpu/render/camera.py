@@ -94,13 +94,14 @@ def clip_to_bounds(rays: Rays, bounds: AABB) -> Rays:
 
 
 def generate_primary_rays(cam: Camera, bounds: AABB, focal_length,
-                          lens_radius, spp: int, key: Array | None = None
-                          ) -> Rays:
+                          lens_radius, spp: int, key: Array | None = None,
+                          lens_uv: Array | None = None) -> Rays:
     """The initTrace kernel (code.cl:458-543) as one dense op.
 
     spp > 1: stratified lens-cell centers per pixel (code.cl:482-509).
-    spp == 1: one random lens sample per pixel (code.cl:510-527); requires
-    ``key`` unless lens_radius == 0 is desired deterministic.
+    spp == 1: one random lens sample per pixel (code.cl:510-527) — pass
+    ``lens_uv`` (P, 2) from the pass-wide random tensor, or ``key`` to draw
+    here; neither gives the deterministic lens center.
     Rays are ordered pixel-major, sample-minor, and clipped to ``bounds``."""
     col, row = pixel_grid(cam)                     # (P,)
     fp = focal_points(cam, col, row, focal_length)  # (P, 3)
@@ -108,11 +109,12 @@ def generate_primary_rays(cam: Camera, bounds: AABB, focal_length,
     if spp > 1:
         uv = stratified_lens_coords(spp)           # (spp, 2)
         uv = jnp.broadcast_to(uv[None], (npix, spp, 2)).reshape(-1, 2)
+    elif lens_uv is not None:
+        uv = lens_uv
+    elif key is not None:
+        uv = jax.random.uniform(key, (npix, 2))
     else:
-        if key is None:
-            uv = jnp.full((npix, 2), 0.5)
-        else:
-            uv = jax.random.uniform(key, (npix, 2))
+        uv = jnp.full((npix, 2), 0.5)
     fp_rep = jnp.repeat(fp, spp, axis=0) if spp > 1 else fp
     rays = thin_lens_rays(cam, fp_rep, lens_radius, uv)
     return clip_to_bounds(rays, bounds)

@@ -46,31 +46,41 @@ def _render_pass(scene: Scene, state: dict, cfg: RenderConfig) -> dict:
     acc, passes = state["acc"], state["passes"]
     kp = rng.pass_key(state["key"], passes)
     cam = replace(scene.camera, cols=cfg.width, rows=cfg.height)
+    n_lights = scene.lights.count
+    R = cfg.total_rays
 
+    # ONE batched threefry draw for the whole pass (lens + per-depth light
+    # sampling + bounces): many small uniform() calls are dominated by fixed
+    # per-call cost on TPU; a single (R, n_draws, 2) tensor is ~10x cheaper.
+    n_draws = 1 + n_lights * (1 + cfg.bounces) + cfg.bounces
+    u_all = jax.random.uniform(kp, (R, n_draws, 2))
+    draw = iter(range(n_draws))
+
+    lens_u = u_all[:, next(draw)] if cfg.spp == 1 else None
     rays = generate_primary_rays(cam, scene.bounds, scene.focal_length,
                                  scene.lens_radius, cfg.spp,
-                                 rng.draw_key(kp, rng.LENS))
+                                 rng.draw_key(kp, rng.LENS),
+                                 lens_uv=lens_u)
+    if cfg.spp > 1:
+        next(draw)  # keep slot numbering stable across spp settings
     hits = Hits.none(rays.n)
     rays, hits = stages.trace_all(rays, hits, scene, cfg)
 
-    n_lights = scene.lights.count
     for li in range(n_lights):
         acc, rays, hits = stages.light_render(acc, rays, hits, scene.lights,
                                               li, cfg)
     for li in range(n_lights):
-        acc, hits = stages.nee_shade(acc, hits, scene, li,
-                                     rng.draw_key(kp, rng.LIGHT, 0, li), cfg)
+        acc, hits = stages.nee_shade(acc, hits, scene, li, kp, cfg,
+                                     u=u_all[:, next(draw)])
 
     for depth in range(1, cfg.bounces + 1):
         hits = stages.apply_russian_roulette(
             hits, rng.draw_key(kp, rng.INIT, depth), depth - 1, cfg)
-        rays = stages.bounce_paths(hits, rng.draw_key(kp, rng.BOUNCE, depth),
-                                   cfg)
+        rays = stages.bounce_paths(hits, kp, cfg, u=u_all[:, next(draw)])
         rays, hits = stages.trace_all(rays, hits, scene, cfg)
         for li in range(n_lights):
-            acc, hits = stages.nee_shade(
-                acc, hits, scene, li,
-                rng.draw_key(kp, rng.LIGHT, depth, li), cfg)
+            acc, hits = stages.nee_shade(acc, hits, scene, li, kp, cfg,
+                                         u=u_all[:, next(draw)])
 
     return {"acc": acc, "key": state["key"], "passes": passes + 1}
 

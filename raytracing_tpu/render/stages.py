@@ -75,7 +75,8 @@ def trace_all(rays: Rays, hits: Hits, scene: Scene, cfg: RenderConfig
             ch = grid_closest_spheres(rays, scene.spheres, scene.sphere_grid)
         else:
             ch = closest_hit_spheres(rays, scene.spheres,
-                                     obj_chunk=cfg.obj_chunk)
+                                     obj_chunk=cfg.obj_chunk,
+                                     use_pallas=cfg.use_pallas)
         p, n, mat = sphere_hit_attrs(rays, scene.spheres, ch)
         best = merge(ch, p, n, mat, best)
 
@@ -87,7 +88,8 @@ def trace_all(rays: Rays, hits: Hits, scene: Scene, cfg: RenderConfig
         else:
             ch = closest_hit_triangles(rays, scene.triangles,
                                        obj_chunk=cfg.obj_chunk,
-                                       two_sided=cfg.two_sided_triangles)
+                                       two_sided=cfg.two_sided_triangles,
+                                       use_pallas=cfg.use_pallas)
         p, n, mat = triangle_hit_attrs(rays, scene.triangles, ch)
         best = merge(ch, p, n, mat, best)
 
@@ -98,7 +100,8 @@ def trace_all(rays: Rays, hits: Hits, scene: Scene, cfg: RenderConfig
         else:
             ch = closest_hit_triangles(rays, mesh.tris,
                                        obj_chunk=cfg.obj_chunk,
-                                       two_sided=cfg.two_sided_triangles)
+                                       two_sided=cfg.two_sided_triangles,
+                                       use_pallas=cfg.use_pallas)
         p, n, mat = triangle_hit_attrs(rays, mesh.tris, ch)
         best = merge(ch, p, n, mat, best)
 
@@ -130,7 +133,8 @@ def occluded_any(rays: Rays, scene: Scene, cfg: RenderConfig) -> Array:
                                         scene.sphere_grid).valid
         else:
             occ |= anyhit_spheres(rays, scene.spheres,
-                                  obj_chunk=cfg.obj_chunk)
+                                  obj_chunk=cfg.obj_chunk,
+                                  use_pallas=cfg.use_pallas)
     if scene.triangles.count:
         if cfg.use_grid and scene.triangle_grid is not None:
             occ |= grid_closest_triangles(rays, scene.triangles,
@@ -139,7 +143,8 @@ def occluded_any(rays: Rays, scene: Scene, cfg: RenderConfig) -> Array:
         else:
             occ |= anyhit_triangles(rays, scene.triangles,
                                     obj_chunk=cfg.obj_chunk,
-                                    two_sided=cfg.two_sided_triangles)
+                                    two_sided=cfg.two_sided_triangles,
+                                    use_pallas=cfg.use_pallas)
     for mesh in scene.meshes:
         if cfg.use_grid and mesh.grid is not None:
             occ |= grid_closest_triangles(rays, mesh.tris, mesh.grid,
@@ -147,7 +152,8 @@ def occluded_any(rays: Rays, scene: Scene, cfg: RenderConfig) -> Array:
         else:
             occ |= anyhit_triangles(rays, mesh.tris,
                                     obj_chunk=cfg.obj_chunk,
-                                    two_sided=cfg.two_sided_triangles)
+                                    two_sided=cfg.two_sided_triangles,
+                                    use_pallas=cfg.use_pallas)
     return occ
 
 
@@ -184,7 +190,8 @@ def light_render(acc: Array, rays: Rays, hits: Hits, lights: Lights,
 # ---------------------------------------------------------------------------
 
 def nee_shade(acc: Array, hits: Hits, scene: Scene, light_idx: int,
-              key: Array, cfg: RenderConfig) -> tuple[Array, Hits]:
+              key: Array, cfg: RenderConfig,
+              u: Array | None = None) -> tuple[Array, Hits]:
     """One light's direct-lighting estimate for every valid hit:
       initShadowTrace (code.cl:631-673) -> any-hit occlusion ->
       sceneRender (code.cl:1323-1364).
@@ -207,8 +214,12 @@ def nee_shade(acc: Array, hits: Hits, scene: Scene, light_idx: int,
     valid = hits.valid
     n_rays = hits.p.shape[0]
 
-    # sample a point on the light disk (concentric map in the light frame)
-    u = rng.uniform2(key, n_rays)
+    # sample a point on the light disk (concentric map in the light frame).
+    # ``u`` (R, 2) is normally sliced from the pass-wide random tensor (one
+    # batched threefry call per pass — 12 small draws cost ~12x more in
+    # fixed overhead than one big one); key is the fallback.
+    if u is None:
+        u = rng.uniform2(key, n_rays)
     target = sample_disk_point(pos[None, :], t_ax[None, :], b_ax[None, :],
                                lights.radius[light_idx][None], u)
 
@@ -245,13 +256,15 @@ def nee_shade(acc: Array, hits: Hits, scene: Scene, light_idx: int,
 # Path continuation
 # ---------------------------------------------------------------------------
 
-def bounce_paths(hits: Hits, key: Array, cfg: RenderConfig) -> Rays:
+def bounce_paths(hits: Hits, key: Array, cfg: RenderConfig,
+                 u: Array | None = None) -> Rays:
     """Cosine-hemisphere continuation rays from valid hits; dead rays
     elsewhere (ref bouncePaths code.cl:581-598). Origins are epsilon-offset
     (deliberate fix; set shadow_eps=0 for raw reference behavior)."""
     n = hits.p.shape[0]
     valid = hits.valid
-    u = rng.uniform2(key, n)
+    if u is None:
+        u = rng.uniform2(key, n)
     safe_n = jnp.where(valid[:, None], hits.n, jnp.array([0.0, 0.0, 1.0]))
     d = cosine_hemisphere(safe_n, u)
     o = hits.p + cfg.shadow_eps * hits.n
