@@ -121,7 +121,12 @@ def load_scene(path: str, cols: int = 320, rows: int = 240) -> Scene:
         tr3 = _vec3(xm, "translate")
         mat_id = lookup[_str(xm, "matId")]
 
-        mpath = os.path.normpath(os.path.join(base_dir, fname))
+        # mesh paths are relative to the app root (the reference resolves
+        # "./tri/x.json" against the HTML page dir, one level above scenes/)
+        candidates = [os.path.normpath(os.path.join(base_dir, fname)),
+                      os.path.normpath(os.path.join(base_dir, "..", fname))]
+        mpath = next((c for c in candidates if os.path.exists(c)),
+                     candidates[0])
         md = MJ.load_mesh_json(mpath)
         if do_norm:
             md = MJ.normalize_unit_cube(md)

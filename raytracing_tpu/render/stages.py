@@ -44,6 +44,27 @@ INF = jnp.inf
 # Closest-hit composition across geometry types
 # ---------------------------------------------------------------------------
 
+def _all_triangles(scene: Scene):
+    """Scene triangles + every mesh instance folded into ONE batch for the
+    brute-force path. The reference traces meshes separately only because
+    each carries its own grid (meshTrace per mesh, code.js:1293-1303); with
+    no grid the split just multiplies program size — compile time for the
+    cornell_teapot scene dropped ~8x after folding. Mesh mat_ids are
+    already baked per-triangle at load. XLA CSEs the concat across the
+    pass's 12 trace/occlusion sites."""
+    from ..core.types import Triangles
+    parts = [scene.triangles] + [m.tris for m in scene.meshes]
+    parts = [p for p in parts if p.count]
+    if not parts:
+        return scene.triangles
+    if len(parts) == 1:
+        return parts[0]
+    return Triangles(v=jnp.concatenate([p.v for p in parts]),
+                     vn=jnp.concatenate([p.vn for p in parts]),
+                     mat_id=jnp.concatenate([p.mat_id for p in parts]),
+                     mask=jnp.concatenate([p.mask for p in parts]))
+
+
 def trace_all(rays: Rays, hits: Hits, scene: Scene, cfg: RenderConfig
               ) -> tuple[Rays, Hits]:
     """Run every geometry pass against the shared ray buffer and merge
@@ -80,30 +101,38 @@ def trace_all(rays: Rays, hits: Hits, scene: Scene, cfg: RenderConfig
         p, n, mat = sphere_hit_attrs(rays, scene.spheres, ch)
         best = merge(ch, p, n, mat, best)
 
-    if scene.triangles.count:
-        if cfg.use_grid and scene.triangle_grid is not None:
-            ch = grid_closest_triangles(rays, scene.triangles,
-                                        scene.triangle_grid,
-                                        two_sided=cfg.two_sided_triangles)
-        else:
-            ch = closest_hit_triangles(rays, scene.triangles,
+    if cfg.use_grid:
+        # grid path keeps per-batch grids (scene grid + per-mesh nslabs)
+        if scene.triangles.count:
+            if scene.triangle_grid is not None:
+                ch = grid_closest_triangles(rays, scene.triangles,
+                                            scene.triangle_grid,
+                                            two_sided=cfg.two_sided_triangles)
+            else:
+                ch = closest_hit_triangles(rays, scene.triangles,
+                                           obj_chunk=cfg.obj_chunk,
+                                           two_sided=cfg.two_sided_triangles)
+            p, n, mat = triangle_hit_attrs(rays, scene.triangles, ch)
+            best = merge(ch, p, n, mat, best)
+        for mesh in scene.meshes:
+            if mesh.grid is not None:
+                ch = grid_closest_triangles(rays, mesh.tris, mesh.grid,
+                                            two_sided=cfg.two_sided_triangles)
+            else:
+                ch = closest_hit_triangles(rays, mesh.tris,
+                                           obj_chunk=cfg.obj_chunk,
+                                           two_sided=cfg.two_sided_triangles)
+            p, n, mat = triangle_hit_attrs(rays, mesh.tris, ch)
+            best = merge(ch, p, n, mat, best)
+    else:
+        tris = _all_triangles(scene)
+        if tris.count:
+            ch = closest_hit_triangles(rays, tris,
                                        obj_chunk=cfg.obj_chunk,
                                        two_sided=cfg.two_sided_triangles,
                                        use_pallas=cfg.use_pallas)
-        p, n, mat = triangle_hit_attrs(rays, scene.triangles, ch)
-        best = merge(ch, p, n, mat, best)
-
-    for mesh in scene.meshes:
-        if cfg.use_grid and mesh.grid is not None:
-            ch = grid_closest_triangles(rays, mesh.tris, mesh.grid,
-                                        two_sided=cfg.two_sided_triangles)
-        else:
-            ch = closest_hit_triangles(rays, mesh.tris,
-                                       obj_chunk=cfg.obj_chunk,
-                                       two_sided=cfg.two_sided_triangles,
-                                       use_pallas=cfg.use_pallas)
-        p, n, mat = triangle_hit_attrs(rays, mesh.tris, ch)
-        best = merge(ch, p, n, mat, best)
+            p, n, mat = triangle_hit_attrs(rays, tris, ch)
+            best = merge(ch, p, n, mat, best)
 
     bt, bp, bn, bm = best
     found = bm >= 0
@@ -135,22 +164,29 @@ def occluded_any(rays: Rays, scene: Scene, cfg: RenderConfig) -> Array:
             occ |= anyhit_spheres(rays, scene.spheres,
                                   obj_chunk=cfg.obj_chunk,
                                   use_pallas=cfg.use_pallas)
-    if scene.triangles.count:
-        if cfg.use_grid and scene.triangle_grid is not None:
-            occ |= grid_closest_triangles(rays, scene.triangles,
-                                          scene.triangle_grid,
-                                          two_sided=cfg.two_sided_triangles).valid
-        else:
-            occ |= anyhit_triangles(rays, scene.triangles,
-                                    obj_chunk=cfg.obj_chunk,
-                                    two_sided=cfg.two_sided_triangles,
-                                    use_pallas=cfg.use_pallas)
-    for mesh in scene.meshes:
-        if cfg.use_grid and mesh.grid is not None:
-            occ |= grid_closest_triangles(rays, mesh.tris, mesh.grid,
-                                          two_sided=cfg.two_sided_triangles).valid
-        else:
-            occ |= anyhit_triangles(rays, mesh.tris,
+    if cfg.use_grid:
+        if scene.triangles.count:
+            if scene.triangle_grid is not None:
+                occ |= grid_closest_triangles(
+                    rays, scene.triangles, scene.triangle_grid,
+                    two_sided=cfg.two_sided_triangles).valid
+            else:
+                occ |= anyhit_triangles(rays, scene.triangles,
+                                        obj_chunk=cfg.obj_chunk,
+                                        two_sided=cfg.two_sided_triangles)
+        for mesh in scene.meshes:
+            if mesh.grid is not None:
+                occ |= grid_closest_triangles(
+                    rays, mesh.tris, mesh.grid,
+                    two_sided=cfg.two_sided_triangles).valid
+            else:
+                occ |= anyhit_triangles(rays, mesh.tris,
+                                        obj_chunk=cfg.obj_chunk,
+                                        two_sided=cfg.two_sided_triangles)
+    else:
+        tris = _all_triangles(scene)
+        if tris.count:
+            occ |= anyhit_triangles(rays, tris,
                                     obj_chunk=cfg.obj_chunk,
                                     two_sided=cfg.two_sided_triangles,
                                     use_pallas=cfg.use_pallas)
