@@ -21,16 +21,26 @@ def main() -> None:
     import jax
 
     from raytracing_tpu import RenderConfig
-    from raytracing_tpu.models.scenes import cornell_box
+    from raytracing_tpu.models.scenes import cornell_box, sphere_field
     from raytracing_tpu.render import pathtracer
 
     width = int(os.environ.get("BENCH_WIDTH", "1024"))
     height = int(os.environ.get("BENCH_HEIGHT", "1024"))
     passes = int(os.environ.get("BENCH_PASSES", "4"))
-    bounces = 5
+    mode = os.environ.get("BENCH_MODE", "forward")   # forward | train
+    scene_name = os.environ.get("BENCH_SCENE", "cornell")
+    bounces = int(os.environ.get("BENCH_BOUNCES", "5"))
 
     cfg = RenderConfig(width=width, height=height, spp=1, bounces=bounces)
-    scene = cornell_box(cols=width, rows=height)
+    if scene_name == "spheres":
+        scene = sphere_field(int(os.environ.get("BENCH_NSPHERES", "1024")),
+                             cols=width, rows=height)
+    else:
+        scene = cornell_box(cols=width, rows=height)
+
+    if mode == "train":
+        _train_bench(jax, scene, cfg, passes)
+        return
 
     def fence(st):
         # jax.block_until_ready is a no-op on some plugin backends (axon
@@ -69,6 +79,49 @@ def main() -> None:
         "value": round(rays_per_s, 1),
         "unit": "ray_segments/s/chip",
         "vs_baseline": round(rays_per_s / baseline, 3),
+    }))
+
+
+def _train_bench(jax, scene, cfg, iters: int) -> None:
+    """Forward + backward rays/s: the BASELINE.json metric. One progressive
+    pass + L2 image loss + grads wrt sphere geometry and materials."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from raytracing_tpu.render import pathtracer
+
+    def loss(params, state):
+        spheres = dataclasses.replace(scene.spheres,
+                                      center=params["center"],
+                                      radius=params["radius"])
+        sc = dataclasses.replace(scene, spheres=spheres,
+                                 materials=params["materials"])
+        st = pathtracer._render_pass(sc, state, cfg)
+        img = pathtracer.image(st, cfg)
+        return jnp.mean(img ** 2), st
+
+    step = jax.jit(jax.value_and_grad(loss, has_aux=True))
+    params = {"center": scene.spheres.center, "radius": scene.spheres.radius,
+              "materials": scene.materials}
+    state = pathtracer.init_state(cfg)
+
+    (l, state), grads = step(params, state)
+    float(grads["center"].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        (l, state), grads = step(params, state)
+    float(grads["center"].ravel()[0])
+    dt = time.perf_counter() - t0
+
+    n_lights = scene.lights.count
+    rays = cfg.total_rays * (1 + n_lights + cfg.bounces * (1 + n_lights))
+    rays_per_s = rays * iters / dt
+    print(json.dumps({
+        "metric": "pathtrace_fwd_bwd_rays_per_s",
+        "value": round(rays_per_s, 1),
+        "unit": "ray_segments/s/chip",
+        "vs_baseline": 1.0,
     }))
 
 
