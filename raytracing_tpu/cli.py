@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint path (default <output>.ckpt.npz)")
     p.add_argument("--resume", action="store_true",
                    help="resume from checkpoint")
+    p.add_argument("--orbit", type=int, default=0, metavar="N",
+                   help="render N frames orbiting the scene (Assign02 "
+                        "rotate-camera animation); output becomes a "
+                        "frame_%%03d.png sequence")
     p.add_argument("--list-devices", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p
@@ -110,6 +114,26 @@ def main(argv=None) -> int:
           f"({jax.devices()[0].device_kind})")
     for k, v in scene_stats(scene).items():
         print(f"  {k}: {v}")
+
+    if args.orbit:
+        # Assign02 rotate animation (ref Camera.rotate, code.js:221-248):
+        # orbit the eye around the scene bounds, one render per frame
+        import os
+
+        from .render import pathtracer as pt
+
+        base, ext = os.path.splitext(args.output)
+        for f in range(args.orbit):
+            angle = 360.0 * f / args.orbit
+            cam = scene.camera.orbit(scene.bounds, angle)
+            fscene = replace(scene, camera=cam)
+            state = pt.init_state(cfg)
+            state = pt.render_passes(fscene, state, cfg, args.passes)
+            img = np.array(pt.image(state, cfg))
+            frame = f"{base}_frame{f:03d}{ext}"
+            write_png(frame, img)
+            print(f"frame {f + 1}/{args.orbit}: {frame}")
+        return 0
 
     if args.renderer == "fake":
         from .render.simple import render_fake_shade
