@@ -48,13 +48,30 @@ class Molecule:
     element_radii: np.ndarray # (n_elements,) float32 — per-unique-element radius
     bounds_min: np.ndarray    # (3,)
     bounds_max: np.ndarray    # (3,)
+    bonds: list | None = None # list[(i, j)] from CONECT records (0-based)
 
 
 def parse_pdb(text: str) -> Molecule:
     centers, elems = [], []
+    serial_to_idx: dict[int, int] = {}
+    bonds: list[tuple[int, int]] = []
+    pending_bonds: list[tuple[int, int]] = []
     for raw in text.split("\n"):
         line = raw.lstrip()
         rec = line[0:6]
+        if rec == "CONECT":
+            # ref pdbParserV1.js:37-46: from-serial + up to 4 to-serials
+            try:
+                frm = int(line[6:11])
+            except ValueError:
+                continue
+            for lo in (11, 16, 21, 26):
+                try:
+                    to = int(line[lo:lo + 5])
+                except ValueError:
+                    continue
+                pending_bonds.append((frm, to))
+            continue
         if rec in ("ATOM  ", "HETATM"):
             alt_loc = line[16:17]
             if alt_loc not in (" ", "A", ""):
@@ -68,8 +85,17 @@ def parse_pdb(text: str) -> Molecule:
             elem = line[76:78].replace(" ", "")
             if not elem:  # fallback for incomplete PDB files (ref js:30-32)
                 elem = line[12:16].replace(" ", "")
+            try:
+                serial = int(line[6:11])
+                serial_to_idx[serial] = len(centers)
+            except ValueError:
+                pass
             centers.append((x, y, z))
             elems.append(elem)
+
+    for frm, to in pending_bonds:
+        if frm in serial_to_idx and to in serial_to_idx:
+            bonds.append((serial_to_idx[frm], serial_to_idx[to]))
 
     n = len(centers)
     used: dict[str, int] = {}
@@ -94,7 +120,7 @@ def parse_pdb(text: str) -> Molecule:
     return Molecule(size=n, centers=c, radii=radii, color_ids=color_ids,
                     colors=np.asarray(colors, np.float32).reshape(-1, 4),
                     element_radii=np.asarray(elem_radii, np.float32),
-                    bounds_min=lo, bounds_max=hi)
+                    bounds_min=lo, bounds_max=hi, bonds=bonds)
 
 
 def load_pdb(path: str) -> Molecule:

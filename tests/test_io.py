@@ -36,6 +36,18 @@ HETATM    3  H1  LIG A   1       0.000   0.000   0.000  1.00  0.00           H
                                np.min(mol.centers - mol.radii[:, None], 0))
 
 
+def test_pdb_conect_bonds():
+    text = """\
+ATOM      1  C1  LIG A   1       0.000   0.000   0.000  1.00  0.00           C
+ATOM      2  C2  LIG A   1       1.500   0.000   0.000  1.00  0.00           C
+ATOM      3  O1  LIG A   1       3.000   0.000   0.000  1.00  0.00           O
+CONECT    1    2
+CONECT    2    1    3
+"""
+    mol = parse_pdb(text)
+    assert (0, 1) in mol.bonds and (1, 2) in mol.bonds
+
+
 def test_pdb_element_fallback_from_atom_name():
     # element columns blank -> fall back to atom-name field (ref js:30-32)
     text = "ATOM      1  N   LIG A   1       0.000   0.000   0.000\n"
