@@ -85,8 +85,6 @@ def main(argv=None) -> int:
             print(f"[{d.id}] {d.platform}: {d.device_kind}")
         return 0
 
-    import dataclasses
-
     import numpy as np
 
     from . import RenderConfig, replace

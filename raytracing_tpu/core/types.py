@@ -197,10 +197,8 @@ class Spheres:
 
     def bounds(self) -> AABB:
         r = self.radius[:, None]
-        big = jnp.where(self.mask[:, None], 1.0, 0.0)
         lo = jnp.where(self.mask[:, None], self.center - r, INF).min(0)
         hi = jnp.where(self.mask[:, None], self.center + r, -INF).max(0)
-        del big
         return AABB(pmin=lo, pmax=hi)
 
     @staticmethod

@@ -24,18 +24,16 @@ in models/scenes.py are used.
 from __future__ import annotations
 
 import os
-from functools import partial
-
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import RenderConfig
-from ..core.types import Camera, AABB, build_scene, make_spheres, replace
+from ..core.types import AABB, Camera, make_spheres
 from ..io.pdb import load_pdb
 from ..render.direct import render_direct
 from ..render.pathtracer import init_state, image, render_passes
 from ..render.simple import render_fake_shade
-from .scenes import cornell_box, sphere_field
+from .scenes import cornell_box
 
 REF_ROOT = "/root/reference"
 

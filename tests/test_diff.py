@@ -42,7 +42,6 @@ def _interior_mask(img_fn, x, thresh=0.0):
 def test_grad_sphere_center_interior():
     cam = _cam()
     radius = jnp.array([0.55, 0.35])
-    mask = None
 
     def img_of(center):
         sp = make_spheres(center, radius)
@@ -149,6 +148,39 @@ def test_soft_converges_to_hard():
     # agree away from edges
     diff = np.abs(hard - soft).max(-1)
     assert np.quantile(diff, 0.9) < 5e-3
+
+
+def test_grad_triangle_vertices_interior():
+    # BASELINE.json: gradients wrt triangle vertices. A big quad faces the
+    # camera; loss over interior pixels -> AD == FD.
+    import jax.numpy as jnp
+    from raytracing_tpu import make_triangles
+    from raytracing_tpu.ops.closest_hit import (closest_hit_triangles,
+                                                triangle_hit_attrs)
+    from raytracing_tpu.render.camera import pinhole_rays, pixel_grid
+
+    cam = _cam(20, 16)
+
+    def img_of(v):
+        tris = make_triangles(v)
+        col, row = pixel_grid(cam)
+        rays = pinhole_rays(cam, col, row)
+        ch = closest_hit_triangles(rays, tris)
+        p, n, _ = triangle_hit_attrs(rays, tris, ch)
+        # depth+normal shading: depends smoothly on vertex positions
+        shade = jnp.where(ch.valid, jnp.einsum("j,ij->i", cam.w, n)
+                          / (1.0 + ch.t), 0.0)
+        return shade.reshape(16, 20, 1)
+
+    # one big slightly-tilted triangle (a second one would add an interior
+    # shared edge whose visibility flips under FD perturbation)
+    v0 = jnp.array([[[-2.0, -2.0, 0.0], [2.0, -2.0, -0.3], [0.0, 2.5, 0.1]]])
+    m = _interior_mask(img_of, v0)
+
+    def loss(v):
+        return jnp.sum(img_of(v)[:, :, 0] * m) / jnp.sum(m)
+
+    check_grad(loss, v0, eps=1e-3, rtol=0.08, atol=1e-3)
 
 
 def test_pathtracer_geometry_grad_finite():
