@@ -210,7 +210,11 @@ def light_render(acc: Array, rays: Rays, hits: Hits, lights: Lights,
     if cfg.normalize_emitter:
         irr = irr / jnp.maximum(jnp.linalg.norm(irr), 1e-20)
     t = I.light_disk_t(rays.o, rays.d, pos, nrm, lights.radius[light_idx])
-    hit = rays.alive & jnp.isfinite(t) & (t < rays.maxt)
+    # deliberate fix: the reference accepts t < 0 here (lightRender checks
+    # only t >= maxt, code.cl:622) — a light's mirror image through the eye
+    # would ghost-credit backward-extended rays. Require t inside the ray
+    # window.
+    hit = rays.alive & jnp.isfinite(t) & (t >= rays.mint) & (t < rays.maxt)
 
     acc = acc + jnp.where(hit[:, None], irr[None, :], 0.0)
     dead = jnp.full((rays.n,), INF)
