@@ -168,6 +168,9 @@ def main(argv=None) -> int:
             state = pathtracer.render_passes(scene, state, cfg, n)
             float(state["acc"].ravel()[0])  # fence
             done = int(state["passes"])
+            # crash-safe: persist progressive state every chunk (failure
+            # recovery = restart with --resume; SURVEY §5)
+            pathtracer.save_checkpoint(ckpt, state)
             rays = cfg.total_rays * (1 + scene.lights.count
                                      + cfg.bounces * (1 + scene.lights.count))
             dt = time.time() - t0

@@ -117,6 +117,8 @@ def render(scene: Scene, cfg: RenderConfig, n_passes: int = 1) -> Array:
 # ---------------------------------------------------------------------------
 
 def save_checkpoint(path: str, state: dict) -> None:
+    """Host-gathered npz checkpoint (single-host; the reference analog is
+    the resident (acu, seeds, passes) triple)."""
     import numpy as np
     np.savez(path, acc=np.asarray(state["acc"]),
              key=np.asarray(jax.random.key_data(state["key"])),
@@ -129,3 +131,32 @@ def load_checkpoint(path: str) -> dict:
     return {"acc": jnp.asarray(z["acc"]),
             "key": jax.random.wrap_key_data(jnp.asarray(z["key"])),
             "passes": jnp.int32(z["passes"])}
+
+
+def save_checkpoint_sharded(path: str, state: dict) -> None:
+    """Orbax checkpoint that preserves shardings (multi-host/multi-chip:
+    each host writes its shards — no gather). Falls back to npz."""
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError:
+        save_checkpoint(path + ".npz", state)
+        return
+    flat = dict(state)
+    flat["key"] = jax.random.key_data(flat["key"])
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, flat, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_sharded(path: str, template: dict | None = None) -> dict:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        flat = dict(template)
+        flat["key"] = jax.random.key_data(flat["key"])
+        restored = ckptr.restore(path, flat)
+    else:
+        restored = ckptr.restore(path)
+    restored["key"] = jax.random.wrap_key_data(jnp.asarray(restored["key"]))
+    restored["passes"] = jnp.int32(restored["passes"])
+    return restored

@@ -92,6 +92,28 @@ def timeit(fn: Callable, *args, iters: int = 5, warmup: int = 1) -> float:
     return times[len(times) // 2]
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """XLA profiler trace (view with TensorBoard / xprof). Wraps
+    jax.profiler.trace; safe no-op if the profiler is unavailable."""
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception:
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+
+
 class StageTimer:
     """Per-stage timing harness (SURVEY §5 tracing: the reference has only
     a live pass counter; this gives named stage timings + rays/s)."""

@@ -67,3 +67,32 @@ def test_cli_list_devices(capsys):
     from raytracing_tpu.cli import main
     assert main(["--list-devices", "--cpu"]) == 0
     assert "cpu" in capsys.readouterr().out
+
+
+def test_orbax_sharded_checkpoint(tmp_path):
+    from raytracing_tpu.render.pathtracer import (
+        init_state, load_checkpoint_sharded, render_passes,
+        save_checkpoint_sharded,
+    )
+    scene = cornell_box(cols=16, rows=12)
+    cfg = RenderConfig(width=16, height=12, spp=1, bounces=1, seed=5)
+    st = render_passes(scene, init_state(cfg), cfg, 2)
+    path = str(tmp_path / "ckpt_orbax")
+    try:
+        save_checkpoint_sharded(path, st)
+        st2 = load_checkpoint_sharded(path, template=st)
+    except ImportError:
+        import pytest
+        pytest.skip("orbax unavailable")
+    np.testing.assert_allclose(np.asarray(st2["acc"]), np.asarray(st["acc"]))
+    assert int(st2["passes"]) == 2
+    a = render_passes(scene, st, cfg, 1)
+    b = render_passes(scene, st2, cfg, 1)
+    np.testing.assert_allclose(np.asarray(a["acc"]), np.asarray(b["acc"]),
+                               atol=1e-6)
+
+
+def test_profile_trace_noop(tmp_path):
+    from raytracing_tpu.utils.runtime import profile_trace
+    with profile_trace(str(tmp_path / "trace")):
+        _ = jnp.ones(8) * 2
