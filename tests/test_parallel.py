@@ -67,3 +67,29 @@ def test_mesh_shapes():
     assert m.devices.size == 8 and m.axis_names == ("rays",)
     m2 = pm.make_mesh(8, obj_parallel=2)
     assert m2.devices.shape == (4, 2) and m2.axis_names == ("rays", "obj")
+
+
+def test_objsharded_closest_hit_matches():
+    import jax.numpy as jnp
+    from raytracing_tpu.core.types import Rays, make_spheres
+    from raytracing_tpu.ops.closest_hit import closest_hit_spheres
+    from raytracing_tpu.parallel.obj_parallel import \
+        closest_hit_spheres_objsharded
+
+    rng = np.random.default_rng(1)
+    R, S = 256, 32
+    o = rng.normal(size=(R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Rays(o=jnp.array(o), d=jnp.array(d.astype(np.float32)),
+                mint=jnp.zeros(R), maxt=jnp.full(R, jnp.inf))
+    sp = make_spheres((rng.normal(size=(S, 3)) * 2).astype(np.float32),
+                      rng.uniform(0.2, 0.8, S).astype(np.float32))
+    mesh = pm.make_mesh(8, obj_parallel=4)
+    ref = closest_hit_spheres(rays, sp)
+    got = closest_hit_spheres_objsharded(rays, sp, mesh, axis="obj")
+    assert (np.array(got.valid) == np.array(ref.valid)).all()
+    ok = np.array(ref.valid)
+    assert (np.array(got.idx)[ok] == np.array(ref.idx)[ok]).all()
+    np.testing.assert_allclose(np.array(got.t)[ok], np.array(ref.t)[ok],
+                               atol=1e-6)
