@@ -31,7 +31,11 @@ def main() -> None:
     scene_name = os.environ.get("BENCH_SCENE", "cornell")
     bounces = int(os.environ.get("BENCH_BOUNCES", "5"))
 
-    cfg = RenderConfig(width=width, height=height, spp=1, bounces=bounces)
+    # the fused whole-pass Pallas megakernel is the production forward path
+    # (8-9x the XLA stage pipeline on v5e); BENCH_MEGA=0 benches the XLA path
+    use_mega = os.environ.get("BENCH_MEGA", "1") == "1" and mode != "train"
+    cfg = RenderConfig(width=width, height=height, spp=1, bounces=bounces,
+                       use_megakernel=use_mega)
     if scene_name == "spheres":
         scene = sphere_field(int(os.environ.get("BENCH_NSPHERES", "1024")),
                              cols=width, rows=height)

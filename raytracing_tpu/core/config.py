@@ -29,6 +29,8 @@ class RenderConfig:
     ray_chunk: int = 1 << 17           # rays per compute tile in chunked ops
     obj_chunk: int = 512               # objects per chunk in brute-force scan
     use_pallas: bool = False           # fused Pallas closest-hit kernels
+    use_megakernel: bool = False       # whole-pass fused Pallas kernel (forward
+                                       # only; brute-force path; see render/mega.py)
     seed: int = 1234
 
     @property

@@ -1,0 +1,605 @@
+"""The whole progressive path-tracing pass as ONE fused Pallas kernel.
+
+Motivation (measured on v5e, cornell 1024x1024 spp1 b5): the stage-composed
+XLA pipeline compiles to ~195 separate fusions + 63 reductions + 24
+transcendental kernels per pass, each round-tripping the 1M-ray wavefront
+buffers through HBM — ~7 GB of traffic for ~6 GFLOP of math, 35 ms/pass.
+This kernel runs the ENTIRE Assign10 schedule (ref
+Assign10-Path_Tracing/code.js:1806-1854 — initTrace, closest hit,
+lightRender, NEE shadow+shade per light, bouncePaths x depth) per ray tile
+with every intermediate in vector registers / VMEM. Per pass it reads the
+scene tables (KB) and the accumulator tile and writes the accumulator back:
+~24 MB of HBM traffic total, compute-bound on the VPU.
+
+Scope: the brute-force geometry path (spheres + folded triangle batch, disk
+area lights) — the production configuration for small/medium scenes. Grid
+(DDA) scenes and the differentiable/training path stay on the XLA pipeline
+(this kernel is forward-only; `jax.grad` through it is not defined).
+
+Math is line-for-line the same as the XLA stages (render/stages.py,
+render/camera.py, core/sampling.py), which themselves cite the reference
+kernels (code.cl). Two RNG modes:
+
+  * ``u_planes`` given — draws are read from a precomputed tensor with the
+    exact slot layout of render/pathtracer._render_pass's pass-wide batched
+    draw, so the kernel is verifiable against the XLA pipeline to float
+    tolerance (tests do this in interpret mode on CPU).
+  * ``u_planes=None`` — draws come from the on-core PRNG
+    (pltpu.prng_random_bits), seeded per (render seed, pass index, tile):
+    reproducible across runs at fixed tile size, zero HBM traffic. Images
+    differ from the XLA path only statistically (different counter RNG —
+    same sampler semantics; SURVEY quirk 6 replacement still holds: seeding
+    is by logical identity, not launch geometry).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+INF = jnp.inf
+
+LANES = 128
+SUBLANES = 32            # flat between 8 and 64 on v5e (compute-bound); 32 best
+TILE = LANES * SUBLANES
+
+# object loops with <= this many objects are unrolled with STATIC table
+# indices: a dynamic VMEM scalar load compiles to load+rotate+extract chains
+# (~5 vector ops per scalar), while static loads are CSE'd/hoisted once per
+# kernel across all 12 trace/occlusion sites
+UNROLL_OBJECTS = 64
+# tables at most this many f32 go to SMEM (native scalar reads)
+SMEM_TABLE_MAX = 2048
+
+
+def _loop_objects(n: int, body, init):
+    """Unrolled (static indices) or fori_loop object iteration."""
+    if n <= UNROLL_OBJECTS:
+        c = init
+        for i in range(n):
+            c = body(i, c)
+        return c
+    return jax.lax.fori_loop(0, n, body, init)
+
+# scalar-parameter vector layout (SMEM f32)
+_PAR = dict(eye=0, u=3, v=6, w=9, film_w=12, film_h=13, cols=14, rows=15,
+            focal=16, lens_r=17, pmin=18, pmax=21, eps=24)
+NPAR = 25
+
+
+# ---------------------------------------------------------------------------
+# small in-kernel math helpers (componentwise; mirror core/* exactly)
+# ---------------------------------------------------------------------------
+
+def _normalize3(x, y, z):
+    """core.types.safe_normalize: guard the squared norm before rsqrt."""
+    n2 = x * x + y * y + z * z
+    inv = jax.lax.rsqrt(jnp.where(n2 > 0.0, n2, 1.0))
+    return x * inv, y * inv, z * inv
+
+
+def _cross(ax, ay, az, bx, by, bz):
+    return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+
+def _concentric(u0, u1):
+    """core.sampling.concentric_disk (ref concentric_distort code.cl:143-172)."""
+    a = 2.0 * u0 - 1.0
+    b = 2.0 * u1 - 1.0
+    top = a * a > b * b
+    safe_a = jnp.where(a == 0.0, 1.0, a)
+    safe_b = jnp.where(b == 0.0, 1.0, b)
+    radius = jnp.where(top, a, b)
+    phi = jnp.where(top, (jnp.pi / 4.0) * (b / safe_a),
+                    (jnp.pi / 2.0) - (jnp.pi / 4.0) * (a / safe_b))
+    x = jnp.cos(phi) * radius
+    y = jnp.sin(phi) * radius
+    zero = (u0 == 0.0) & (u1 == 0.0)
+    return jnp.where(zero, u0, x), jnp.where(zero, u1, y)
+
+
+def _tangent_frame(nx, ny, nz):
+    """core.types.tangent_frame: min-|component| trick, ties toward x
+    (ref Light.calculateTBN code.js:301-320)."""
+    ax, ay, az = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+    mn = jnp.minimum(ax, jnp.minimum(ay, az))
+    fx = ax == mn
+    fy = (ay == mn) & ~fx
+    fz = (az == mn) & ~fx & ~fy
+    vx = jnp.where(fx, 1.0, nx)
+    vy = jnp.where(fy, 1.0, ny)
+    vz = jnp.where(fz, 1.0, nz)
+    vx, vy, vz = _normalize3(vx, vy, vz)
+    tx, ty, tz = _normalize3(*_cross(vx, vy, vz, nx, ny, nz))
+    bx, by, bz = _normalize3(*_cross(nx, ny, nz, tx, ty, tz))
+    return (tx, ty, tz), (bx, by, bz)
+
+
+class _Draws:
+    """Sequential (u0, u1) pair source: precomputed planes (test/verify
+    mode) or the on-core PRNG. Slot order mirrors _render_pass's pass-wide
+    tensor: lens, NEE per light (primary), then per depth: bounce,
+    NEE per light."""
+
+    def __init__(self, u_ref, shape):
+        self.u_ref = u_ref
+        self.shape = shape
+        self.j = 0
+
+    def skip(self):
+        self.j += 1
+
+    def pair(self):
+        if self.u_ref is not None:
+            u0 = self.u_ref[2 * self.j]
+            u1 = self.u_ref[2 * self.j + 1]
+        else:
+            b0 = pltpu.prng_random_bits(self.shape)
+            b1 = pltpu.prng_random_bits(self.shape)
+            scale = jnp.float32(1.0 / (1 << 24))
+            u0 = (b0 >> 8).astype(jnp.float32) * scale
+            u1 = (b1 >> 8).astype(jnp.float32) * scale
+        self.j += 1
+        return u0, u1
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
+                        n_rays: int, spp: int, width: int, bounces: int,
+                        n_sph: int, n_tri: int, n_mat: int, n_lig: int,
+                        two_sided: bool, normalize_emitter: bool,
+                        use_u: bool, seed: int):
+    if use_u:
+        u_ref = rest[0]
+        acc_in = rest[1:4]
+        acc_out = rest[4:7]
+    else:
+        u_ref = None
+        acc_in = rest[0:3]
+        acc_out = rest[3:6]
+
+    shape = (SUBLANES, LANES)
+    pid = pl.program_id(0)
+    if not use_u:
+        # one mixed scalar: (render seed, pass, tile) -> int32; the odd
+        # multipliers keep distinct (pass, tile) pairs distinct
+        mixed = (jnp.int32(seed & 0x7FFFFFFF) * jnp.int32(1000003)
+                 + ipar[0] * jnp.int32(40503) + pid)
+        pltpu.prng_seed(mixed)
+    draws = _Draws(u_ref, shape)
+
+    # ---- ray ids / pixel coordinates (f32 exact below 2^24, asserted by
+    # the wrapper) ------------------------------------------------------
+    rid = ((pid * SUBLANES
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 0)) * LANES
+           + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    in_range = rid < n_rays
+    ridf = rid.astype(jnp.float32)
+    sppf = jnp.float32(spp)
+    pix = jnp.floor(ridf / sppf)
+    samp = ridf - pix * sppf
+    wf = jnp.float32(width)
+    rowf = jnp.floor(pix / wf)
+    colf = pix - rowf * wf
+
+    def P(name, off=0):
+        return par[_PAR[name] + off]
+
+    ex, ey, ez = P("eye"), P("eye", 1), P("eye", 2)
+    ux, uy, uz = P("u"), P("u", 1), P("u", 2)
+    vx, vy, vz = P("v"), P("v", 1), P("v", 2)
+    wx, wy, wz = P("w"), P("w", 1), P("w", 2)
+    eps = P("eps")
+
+    # ---- film point -> pinhole dir -> focal point ----------------------
+    # (render/camera.py film_point/focal_points; ref getRay code.cl:108-119,
+    #  getFocalPoint code.cl:174-181)
+    su = (-0.5 + (colf + 0.5) / P("cols")) * P("film_w")
+    sv = (0.5 - (rowf + 0.5) / P("rows")) * P("film_h")
+    cx = su * ux + sv * vx - wx
+    cy = su * uy + sv * vy - wy
+    cz = su * uz + sv * vz - wz
+    px_, py_, pz_ = _normalize3(cx, cy, cz)
+    fl = P("focal")
+    pipd = -((ex - fl * wx) * wx + (ey - fl * wy) * wy + (ez - fl * wz) * wz)
+    t_f = -((ex * wx + ey * wy + ez * wz) + pipd) / \
+        (px_ * wx + py_ * wy + pz_ * wz)
+    fpx = ex + t_f * px_
+    fpy = ey + t_f * py_
+    fpz = ez + t_f * pz_
+
+    # ---- thin-lens origin + dir (ref getThinLensRay code.cl:183-197) ----
+    if spp > 1:
+        k = int(round(spp ** 0.5))
+        draws.skip()                       # slot 0 reserved (XLA layout)
+        si = jnp.floor(samp / k)
+        sj = samp - si * k
+        u0 = (sj + 0.5) / k
+        u1 = (si + 0.5) / k
+    else:
+        u0, u1 = draws.pair()
+    dx_, dy_ = _concentric(u0, u1)
+    lr = P("lens_r")
+    ox = ex + lr * (dx_ * ux + dy_ * vx)
+    oy = ey + lr * (dx_ * uy + dy_ * vy)
+    oz = ez + lr * (dx_ * uz + dy_ * vz)
+    dx, dy, dz = _normalize3(fpx - ox, fpy - oy, fpz - oz)
+
+    # ---- clip to scene AABB (render/camera.py clip_to_bounds;
+    #      ref initTrace code.cl:495-501) -------------------------------
+    def slab(p_lo, p_hi, o_, d_):
+        sd = jnp.where(d_ == 0.0, 1e-30, d_)
+        t0 = (p_lo - o_) / sd
+        t1 = (p_hi - o_) / sd
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    n0, f0 = slab(P("pmin"), P("pmax"), ox, dx)
+    n1, f1 = slab(P("pmin", 1), P("pmax", 1), oy, dy)
+    n2, f2 = slab(P("pmin", 2), P("pmax", 2), oz, dz)
+    tmin = jnp.maximum(jnp.maximum(n0, jnp.maximum(n1, n2)), 0.0)
+    tmax = jnp.minimum(f0, jnp.minimum(f1, f2))
+    ok = (tmin <= tmax) & in_range
+    mint = jnp.where(ok, tmin, INF)
+    maxt = jnp.where(ok, tmax, INF)
+
+    inf2 = jnp.full(shape, INF)
+
+    # ---- closest hit over all geometry (ops/closest_hit.py;
+    #      ref sphereTrace/triangleTrace champion loops) -----------------
+    def trace(ox, oy, oz, dx, dy, dz, mint, maxt):
+        alive = mint != maxt
+        a = dx * dx + dy * dy + dz * dz
+        inv2a = 0.5 / a
+        # o x d is loop-invariant across triangles — hoisted
+        xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
+        init = (inf2, jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
+                jnp.full(shape, -1.0))
+
+        def sph_body(i, c):
+            bt, bnx, bny, bnz, bm = c
+            scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
+            r, mf, msk = sph[i, 3], sph[i, 4], sph[i, 5]
+            mx = ox - scx
+            my = oy - scy
+            mz = oz - scz
+            b = 2.0 * (mx * dx + my * dy + mz * dz)
+            cq = mx * mx + my * my + mz * mz - r * r
+            dis = b * b - 4.0 * a * cq
+            sq = jnp.sqrt(jnp.maximum(dis, 0.0))
+            t0 = (-b - sq) * inv2a
+            t1 = (-b + sq) * inv2a
+            tmn = jnp.minimum(t0, t1)
+            tmx = jnp.maximum(t0, t1)
+            t = jnp.where((tmn >= mint) & (tmn <= maxt), tmn,
+                          jnp.where((tmx >= mint) & (tmx <= maxt), tmx, inf2))
+            t = jnp.where((dis >= 0.0) & (msk > 0.0) & alive, t, inf2)
+            better = t < bt
+            ts = jnp.where(better, t, 0.0)
+            hnx, hny, hnz = _normalize3(ox + ts * dx - scx,
+                                        oy + ts * dy - scy,
+                                        oz + ts * dz - scz)
+            return (jnp.where(better, t, bt),
+                    jnp.where(better, hnx, bnx),
+                    jnp.where(better, hny, bny),
+                    jnp.where(better, hnz, bnz),
+                    jnp.where(better, mf, bm))
+
+        def tri_body(i, c):
+            bt, bnx, bny, bnz, bm = c
+            ngx, ngy, ngz = tri[i, 0], tri[i, 1], tri[i, 2]
+            c1x, c1y, c1z = tri[i, 3], tri[i, 4], tri[i, 5]
+            c2x, c2y, c2z = tri[i, 6], tri[i, 7], tri[i, 8]
+            e1x, e1y, e1z = tri[i, 9], tri[i, 10], tri[i, 11]
+            e2x, e2y, e2z = tri[i, 12], tri[i, 13], tri[i, 14]
+            kk, mf, msk = tri[i, 15], tri[i, 16], tri[i, 17]
+            # Moller-Trumbore, constant-split form (ops/intersect.py
+            # triangle_ts_matmul; ref interTriangle code.cl:250-288)
+            div = ngx * dx + ngy * dy + ngz * dz
+            side_ok = (div != 0.0) if two_sided else (div > 0.0)
+            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+            beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+            gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+            t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+            okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
+                & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
+                & (msk > 0.0) & alive
+            t = jnp.where(okh, t, inf2)
+            better = t < bt
+            # interpolated vertex normal (ref interp code.cl:405-411)
+            alpha = 1.0 - beta - gamma
+            hnx = alpha * tri[i, 18] + beta * tri[i, 21] + gamma * tri[i, 24]
+            hny = alpha * tri[i, 19] + beta * tri[i, 22] + gamma * tri[i, 25]
+            hnz = alpha * tri[i, 20] + beta * tri[i, 23] + gamma * tri[i, 26]
+            hnx, hny, hnz = _normalize3(hnx, hny, hnz)
+            return (jnp.where(better, t, bt),
+                    jnp.where(better, hnx, bnx),
+                    jnp.where(better, hny, bny),
+                    jnp.where(better, hnz, bnz),
+                    jnp.where(better, mf, bm))
+
+        c = init
+        if n_sph:
+            c = _loop_objects(n_sph, sph_body, c)
+        if n_tri:
+            c = _loop_objects(n_tri, tri_body, c)
+        bt, bnx, bny, bnz, bm = c
+        found = bm >= 0.0
+        ts = jnp.where(found, bt, 0.0)
+        hpx = ox + ts * dx
+        hpy = oy + ts * dy
+        hpz = oz + ts * dz
+        new_maxt = jnp.where(found, bt, maxt)
+        return new_maxt, (hpx, hpy, hpz, bnx, bny, bnz, bm)
+
+    def anyhit(ox, oy, oz, dx, dy, dz, mint, maxt):
+        """Occlusion (ref *ShadowTrace code.cl:1073-1321; explicit bool).
+        The fori_loop carry is f32 0/1 — Mosaic cannot legalize i1-vector
+        loop carries."""
+        alive = mint != maxt
+        a = dx * dx + dy * dy + dz * dz
+        inv2a = 0.5 / a
+        xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
+
+        def sph_body(i, occ):
+            scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
+            r, msk = sph[i, 3], sph[i, 5]
+            mx = ox - scx
+            my = oy - scy
+            mz = oz - scz
+            b = 2.0 * (mx * dx + my * dy + mz * dz)
+            cq = mx * mx + my * my + mz * mz - r * r
+            dis = b * b - 4.0 * a * cq
+            sq = jnp.sqrt(jnp.maximum(dis, 0.0))
+            t0 = (-b - sq) * inv2a
+            t1 = (-b + sq) * inv2a
+            tmn = jnp.minimum(t0, t1)
+            tmx = jnp.maximum(t0, t1)
+            hit = ((tmn >= mint) & (tmn <= maxt)) | \
+                  ((tmx >= mint) & (tmx <= maxt))
+            hit = hit & (dis >= 0.0) & (msk > 0.0) & alive
+            return jnp.where(hit, 1.0, occ)
+
+        def tri_body(i, occ):
+            ngx, ngy, ngz = tri[i, 0], tri[i, 1], tri[i, 2]
+            c1x, c1y, c1z = tri[i, 3], tri[i, 4], tri[i, 5]
+            c2x, c2y, c2z = tri[i, 6], tri[i, 7], tri[i, 8]
+            e1x, e1y, e1z = tri[i, 9], tri[i, 10], tri[i, 11]
+            e2x, e2y, e2z = tri[i, 12], tri[i, 13], tri[i, 14]
+            kk, msk = tri[i, 15], tri[i, 17]
+            div = ngx * dx + ngy * dy + ngz * dz
+            side_ok = (div != 0.0) if two_sided else (div > 0.0)
+            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+            beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+            gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+            t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+            okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
+                & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
+                & (msk > 0.0) & alive
+            return jnp.where(okh, 1.0, occ)
+
+        occ = jnp.zeros(shape)
+        if n_sph:
+            occ = _loop_objects(n_sph, sph_body, occ)
+        if n_tri:
+            occ = _loop_objects(n_tri, tri_body, occ)
+        return occ > 0.0
+
+    def albedo_of(mf):
+        """materials[mat_id].rgb, zeros for mat_id < 0
+        (ops/closest_hit.py palette_lookup semantics)."""
+        ar = jnp.zeros(shape)
+        ag = jnp.zeros(shape)
+        ab = jnp.zeros(shape)
+        for m in range(n_mat):
+            sel = mf == float(m)
+            ar = jnp.where(sel, mat[m, 0], ar)
+            ag = jnp.where(sel, mat[m, 1], ag)
+            ab = jnp.where(sel, mat[m, 2], ab)
+        return ar, ag, ab
+
+    # ---- per-pass state -------------------------------------------------
+    accr = acc_in[0][:]
+    accg = acc_in[1][:]
+    accb = acc_in[2][:]
+    tpr = jnp.ones(shape)
+    tpg = jnp.ones(shape)
+    tpb = jnp.ones(shape)
+
+    maxt, hit = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
+    hpx, hpy, hpz, hnx, hny, hnz, matf = hit
+
+    # ---- lightRender: emitter hits on the PRIMARY segment only
+    #      (ref code.cl:600-629; render/stages.py light_render) ----------
+    for li in range(n_lig):
+        lpx, lpy, lpz = lig[li, 0], lig[li, 1], lig[li, 2]
+        lnx, lny, lnz = lig[li, 3], lig[li, 4], lig[li, 5]
+        if normalize_emitter:
+            ir, ig, ib = lig[li, 9], lig[li, 10], lig[li, 11]
+        else:
+            ir, ig, ib = lig[li, 6], lig[li, 7], lig[li, 8]
+        rad = lig[li, 12]
+        alive = mint != maxt
+        den = dx * lnx + dy * lny + dz * lnz
+        num = (lpx - ox) * lnx + (lpy - oy) * lny + (lpz - oz) * lnz
+        t = num / jnp.where(den == 0.0, 1.0, den)
+        qx = ox + t * dx - lpx
+        qy = oy + t * dy - lpy
+        qz = oz + t * dz - lpz
+        on_disk = qx * qx + qy * qy + qz * qz <= rad * rad
+        t = jnp.where((den != 0.0) & (num != 0.0) & on_disk, t, inf2)
+        hitl = alive & (t < INF) & (t >= mint) & (t < maxt)
+        accr = accr + jnp.where(hitl, ir, 0.0)
+        accg = accg + jnp.where(hitl, ig, 0.0)
+        accb = accb + jnp.where(hitl, ib, 0.0)
+        mint = jnp.where(hitl, inf2, mint)
+        maxt = jnp.where(hitl, inf2, maxt)
+        matf = jnp.where(hitl, -1.0, matf)
+
+    # ---- NEE + bounce schedule -----------------------------------------
+    def nee(li, accr, accg, accb, tpr, tpg, tpb, matf):
+        """initShadowTrace -> occlusion -> sceneRender for one light
+        (ref code.cl:631-673, 1323-1364; render/stages.py nee_shade)."""
+        lpx, lpy, lpz = lig[li, 0], lig[li, 1], lig[li, 2]
+        lnx, lny, lnz = lig[li, 3], lig[li, 4], lig[li, 5]
+        ir, ig, ib = lig[li, 6], lig[li, 7], lig[li, 8]
+        rad, area = lig[li, 12], lig[li, 13]
+        tax, tay, taz = lig[li, 14], lig[li, 15], lig[li, 16]
+        bax, bay, baz = lig[li, 17], lig[li, 18], lig[li, 19]
+        valid = matf >= 0.0
+        u0, u1 = draws.pair()
+        sx, sy = _concentric(u0, u1)
+        sx = sx * rad
+        sy = sy * rad
+        tgx = lpx + sx * tax + sy * bax
+        tgy = lpy + sx * tay + sy * bay
+        tgz = lpz + sx * taz + sy * baz
+        sox = hpx + eps * hnx
+        soy = hpy + eps * hny
+        soz = hpz + eps * hnz
+        dlx = tgx - sox
+        dly = tgy - soy
+        dlz = tgz - soz
+        d2 = dlx * dlx + dly * dly + dlz * dlz
+        dist = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+        dist = jnp.where(d2 > 0.0, dist, 0.0)
+        sdx, sdy, sdz = _normalize3(dlx, dly, dlz)
+        smint = jnp.where(valid, 0.0, inf2)
+        smaxt = jnp.where(valid, dist, inf2)
+        occ = anyhit(sox, soy, soz, sdx, sdy, sdz, smint, smaxt)
+        # geometric term uses distance to the light CENTER (quirk kept,
+        # ref code.cl:1351-1356)
+        r2 = (hpx - lpx) ** 2 + (hpy - lpy) ** 2 + (hpz - lpz) ** 2
+        cosx = jnp.clip(sdx * hnx + sdy * hny + sdz * hnz, 0.0, 1.0)
+        cosy = jnp.clip(-(sdx * lnx + sdy * lny + sdz * lnz), 0.0, 1.0)
+        geom = area * cosx * cosy / jnp.maximum(r2, 1e-20)
+        free = valid & ~occ
+        ar, ag, ab = albedo_of(matf)
+        shr = jnp.where(free, geom * ir, 0.0)
+        shg = jnp.where(free, geom * ig, 0.0)
+        shb = jnp.where(free, geom * ib, 0.0)
+        accr = accr + jnp.where(valid, tpr * ar * shr, 0.0)
+        accg = accg + jnp.where(valid, tpg * ag * shg, 0.0)
+        accb = accb + jnp.where(valid, tpb * ab * shb, 0.0)
+        tpr = jnp.where(valid, tpr * ar, tpr)
+        tpg = jnp.where(valid, tpg * ag, tpg)
+        tpb = jnp.where(valid, tpb * ab, tpb)
+        return accr, accg, accb, tpr, tpg, tpb
+
+    for li in range(n_lig):
+        accr, accg, accb, tpr, tpg, tpb = nee(
+            li, accr, accg, accb, tpr, tpg, tpb, matf)
+
+    for _depth in range(bounces):
+        # bouncePaths (ref code.cl:581-598; render/stages.py bounce_paths)
+        valid = matf >= 0.0
+        snx = jnp.where(valid, hnx, 0.0)
+        sny = jnp.where(valid, hny, 0.0)
+        snz = jnp.where(valid, hnz, 1.0)
+        (tx, ty, tz), (bx, by, bz) = _tangent_frame(snx, sny, snz)
+        u0, u1 = draws.pair()
+        cdx, cdy = _concentric(u0, u1)
+        cz = jnp.sqrt(jnp.maximum(0.0, 1.0 - cdx * cdx - cdy * cdy))
+        dx, dy, dz = _normalize3(cdx * tx + cdy * bx + cz * snx,
+                                 cdx * ty + cdy * by + cz * sny,
+                                 cdx * tz + cdy * bz + cz * snz)
+        ox = hpx + eps * hnx
+        oy = hpy + eps * hny
+        oz = hpz + eps * hnz
+        mint = jnp.where(valid, 0.0, inf2)
+        maxt = inf2
+        maxt, hit = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
+        hpx, hpy, hpz, hnx, hny, hnz, matf = hit
+        for li in range(n_lig):
+            accr, accg, accb, tpr, tpg, tpb = nee(
+                li, accr, accg, accb, tpr, tpg, tpb, matf)
+
+    acc_out[0][:] = accr
+    acc_out[1][:] = accg
+    acc_out[2][:] = accb
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+def _pad_plane(x: Array, P: int) -> Array:
+    """(R,) -> (P/LANES, LANES)."""
+    R = x.shape[0]
+    if P != R:
+        x = jnp.concatenate([x, jnp.zeros((P - R,), x.dtype)])
+    return x.reshape(P // LANES, LANES)
+
+
+def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
+                          mat: Array, lig: Array, acc: Array,
+                          u_planes: Array | None, *,
+                          spp: int, width: int, bounces: int,
+                          two_sided: bool, normalize_emitter: bool,
+                          seed: int, interpret: bool = False) -> Array:
+    """One progressive pass over ``acc`` (R, 3) -> new (R, 3).
+
+    par: (NPAR,) f32 scalars; ipar: (1,) i32 [pass_idx];
+    sph (S, 8): [center xyz, radius, mat, mask, pad2];
+    tri (T, 32): [n_geo, c1, c2, e1, e2, k, mat, mask, vn0, vn1, vn2, pad];
+    mat (M, 4): rgba; lig (L, 20): [pos, normal, irr, irr_normalized,
+    radius, area, tangent, bitangent];
+    u_planes: (n_draws*2, R) precomputed uniforms or None for on-core PRNG.
+    """
+    R = acc.shape[0]
+    assert R < (1 << 24), "megakernel pixel math is exact f32 below 2^24 rays"
+    P = -(-R // TILE) * TILE
+    n_tiles = P // TILE
+
+    acc_planes = [_pad_plane(acc[:, c], P) for c in range(3)]
+    n_args = dict(n_rays=R, spp=spp, width=width, bounces=bounces,
+                  n_sph=sph.shape[0], n_tri=tri.shape[0],
+                  n_mat=mat.shape[0], n_lig=lig.shape[0],
+                  two_sided=two_sided, normalize_emitter=normalize_emitter,
+                  use_u=u_planes is not None, seed=seed)
+
+    ray_block = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def table_spec(t: Array):
+        # small tables ride SMEM: scalar reads come from the scalar unit
+        # instead of a VMEM load+rotate+extract chain per element
+        return smem if t.size <= SMEM_TABLE_MAX else vmem
+
+    in_specs = [smem, smem, table_spec(sph), table_spec(tri),
+                table_spec(mat), table_spec(lig)]
+    args = [ipar, par, sph, tri, mat, lig]
+    if u_planes is not None:
+        D2 = u_planes.shape[0]
+        u3 = jnp.stack([_pad_plane(u_planes[j], P) for j in range(D2)])
+        in_specs.append(pl.BlockSpec((D2, SUBLANES, LANES),
+                                     lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(u3)
+    in_specs += [ray_block] * 3
+    args += acc_planes
+    n_in = len(args)
+
+    out = pl.pallas_call(
+        functools.partial(_render_pass_kernel, **n_args),
+        out_shape=tuple(jax.ShapeDtypeStruct((P // LANES, LANES), jnp.float32)
+                        for _ in range(3)),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=(ray_block,) * 3,
+        input_output_aliases={n_in - 3: 0, n_in - 2: 1, n_in - 1: 2},
+        interpret=interpret,
+    )(*args)
+    return jnp.stack([p.reshape(-1)[:R] for p in out], axis=-1)

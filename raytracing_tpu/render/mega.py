@@ -1,0 +1,112 @@
+"""Megakernel pass driver: Scene -> packed tables -> fused Pallas pass.
+
+The production forward path for brute-force scenes (cfg.use_megakernel):
+one Pallas kernel per progressive pass instead of ~280 XLA kernels
+(see ops/pallas/megakernel.py for the cost analysis). The XLA stage
+pipeline (render/pathtracer.py) remains the differentiable/training path
+and the oracle this one is tested against.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import RenderConfig
+from ..core.types import Scene, replace, tangent_frame
+from ..ops import intersect as I
+from ..ops.pallas import megakernel as MK
+from .stages import _all_triangles
+
+Array = jax.Array
+
+
+def scene_tables(scene: Scene, cfg: RenderConfig
+                 ) -> tuple[Array, Array, Array, Array, Array]:
+    """(par, sph, tri, mat, lig) packed for the kernel. Pure jnp — safe to
+    trace; tables are tiny (KB) and live whole in VMEM."""
+    cam = replace(scene.camera, cols=cfg.width, rows=cfg.height)
+    scal = [cam.width, cam.height, float(cam.cols), float(cam.rows),
+            scene.focal_length, scene.lens_radius]
+    par = jnp.concatenate([
+        cam.eye, cam.u, cam.v, cam.w,
+        jnp.stack([jnp.asarray(s, jnp.float32).reshape(()) for s in scal]),
+        scene.bounds.pmin, scene.bounds.pmax,
+        jnp.asarray([cfg.shadow_eps], jnp.float32),
+    ]).astype(jnp.float32)
+    assert par.shape[0] == MK.NPAR
+
+    sp = scene.spheres
+    sph = jnp.concatenate([
+        sp.center, sp.radius[:, None],
+        sp.mat_id[:, None].astype(jnp.float32),
+        sp.mask[:, None].astype(jnp.float32),
+        jnp.zeros((sp.count, 2)),
+    ], axis=-1).astype(jnp.float32)
+
+    tris = _all_triangles(scene)
+    tc = I.tri_constants(tris.v)
+    T = tris.count
+    tri = jnp.concatenate([
+        tc.n_geo, tc.c1, tc.c2, tc.e1, tc.e2, tc.k[:, None],
+        tris.mat_id[:, None].astype(jnp.float32),
+        tris.mask[:, None].astype(jnp.float32),
+        tris.vn.reshape(T, 9),
+        jnp.zeros((T, 5)),
+    ], axis=-1).astype(jnp.float32)
+
+    mat = scene.materials.astype(jnp.float32)
+
+    lg = scene.lights
+    t_ax, b_ax = tangent_frame(lg.normal)
+    irr_n = lg.irradiance / jnp.maximum(
+        jnp.linalg.norm(lg.irradiance, axis=-1, keepdims=True), 1e-20)
+    lig = jnp.concatenate([
+        lg.position, lg.normal, lg.irradiance, irr_n,
+        lg.radius[:, None], lg.area[:, None], t_ax, b_ax,
+    ], axis=-1).astype(jnp.float32)
+    return par, sph, tri, mat, lig
+
+
+def supported(scene: Scene, cfg: RenderConfig) -> bool:
+    """The megakernel covers the default brute-force forward path."""
+    return (not cfg.use_grid and not cfg.russian_roulette
+            and not cfg.replicate_stale_poi
+            and cfg.total_rays < (1 << 24))
+
+
+def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
+                     u_planes: Array | None = None,
+                     interpret: bool | None = None) -> dict:
+    """One progressive pass, megakernel edition. Same state contract as
+    pathtracer._render_pass; forward-only (no custom VJP — use the XLA
+    path for gradients)."""
+    assert supported(scene, cfg), \
+        "megakernel: unsupported config (grid/RR/stale-POI/ray-count)"
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if interpret and u_planes is None:
+        # interpret mode cannot lower the on-core PRNG (pltpu.prng_seed has
+        # no CPU rule); draw the pass-wide threefry tensor instead — this is
+        # also what makes CPU output bit-identical to the XLA pipeline
+        u_planes = u_planes_for_pass(state["key"], state["passes"], cfg,
+                                     scene.lights.count)
+    par, sph, tri, mat, lig = scene_tables(scene, cfg)
+    ipar = jnp.asarray([state["passes"]], jnp.int32).reshape(1)
+    acc = MK.pathtrace_pass_pallas(
+        par, ipar, sph, tri, mat, lig, state["acc"], u_planes,
+        spp=cfg.spp, width=cfg.width, bounces=cfg.bounces,
+        two_sided=cfg.two_sided_triangles,
+        normalize_emitter=cfg.normalize_emitter,
+        seed=cfg.seed, interpret=interpret)
+    return {"acc": acc, "key": state["key"], "passes": state["passes"] + 1}
+
+
+def u_planes_for_pass(key: Array, passes: Array, cfg: RenderConfig,
+                      n_lights: int) -> Array:
+    """The pass-wide uniform tensor in the kernel's plane layout —
+    EXACTLY the draws _render_pass makes (verification mode)."""
+    from ..core import rng
+    kp = rng.pass_key(key, passes)
+    n_draws = 1 + n_lights * (1 + cfg.bounces) + cfg.bounces
+    u_all = jax.random.uniform(kp, (cfg.total_rays, n_draws, 2))
+    return u_all.transpose(1, 2, 0).reshape(n_draws * 2, cfg.total_rays)

@@ -43,6 +43,14 @@ def init_state(cfg: RenderConfig) -> dict:
 def _render_pass(scene: Scene, state: dict, cfg: RenderConfig) -> dict:
     """One progressive pass (= spp samples/pixel). Pure function of
     (scene, state)."""
+    if cfg.use_megakernel:
+        # whole-pass fused Pallas kernel (forward-only production path;
+        # this XLA pipeline remains the differentiable oracle). Configs the
+        # kernel doesn't cover (grid/RR/stale-POI) fall through to the
+        # stage pipeline.
+        from .mega import render_pass_mega, supported
+        if supported(scene, cfg):
+            return render_pass_mega(scene, state, cfg)
     acc, passes = state["acc"], state["passes"]
     kp = rng.pass_key(state["key"], passes)
     cam = replace(scene.camera, cols=cfg.width, rows=cfg.height)
