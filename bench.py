@@ -9,7 +9,12 @@ matching how the reference's wavefront issues work (SURVEY §3.4).
 The reference publishes no numbers (BASELINE.json "published": {}), so
 vs_baseline is measured against the stored first-run value in
 bench_baseline.json (1.0 on the first run).
-"""
+
+Env knobs: BENCH_WIDTH/HEIGHT/PASSES/REPS/BOUNCES/SCENE, BENCH_MEGA=0
+(bench the XLA stage pipeline instead of the fused megakernel),
+BENCH_MODE=train (fwd+bwd), BENCH_CONFIG=1..5 (the five BASELINE.json
+configs: 1 fake-shade sphere, 2 direct lighting + shadows, 3 mesh+grid,
+4 thin lens spp4, 5 path tracing — default)."""
 from __future__ import annotations
 
 import json
@@ -41,6 +46,11 @@ def main() -> None:
                              cols=width, rows=height)
     else:
         scene = cornell_box(cols=width, rows=height)
+
+    bench_config = int(os.environ.get("BENCH_CONFIG", "5"))
+    if bench_config != 5:
+        _config_bench(jax, bench_config, width, height)
+        return
 
     if mode == "train":
         _train_bench(jax, scene, cfg, passes)
@@ -83,6 +93,47 @@ def main() -> None:
         "value": round(rays_per_s, 1),
         "unit": "ray_segments/s/chip",
         "vs_baseline": round(rays_per_s / baseline, 3),
+    }))
+
+
+def _config_bench(jax, config: int, width: int, height: int) -> None:
+    """BASELINE.json configs 1-4 (config 5, path tracing, is the default
+    main() path). Metric: primary rays/s for single-dispatch pipelines."""
+    from raytracing_tpu import RenderConfig
+    from raytracing_tpu.models import assignments as A
+
+    if config == 1:
+        render, args, cfg = A.assign01(width, height)
+        name, work = "fake_shade_sphere", width * height
+    elif config == 2:
+        render, args, cfg = A.assign08(width, height)
+        # primary + per-light shadow segment
+        name, work = "direct_lighting", None
+    elif config == 3:
+        render, args, cfg = A.assign07(width, height, n_slabs=4)
+        name, work = "mesh_grid_dda", None
+    elif config == 4:
+        render, args, cfg = A.assign09(width, height, spp=4)
+        name, work = "thin_lens_spp4", None
+    else:
+        raise SystemExit(f"BENCH_CONFIG must be 1..5, got {config}")
+    if work is None:
+        scene = args[0]
+        work = cfg.total_rays * (1 + scene.lights.count)
+
+    out = render(*args)
+    float(out.ravel()[0])
+    reps = int(os.environ.get("BENCH_REPS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = render(*args)
+    float(out.ravel()[0])
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": f"config{config}_{name}_rays_per_s",
+        "value": round(work / dt, 1),
+        "unit": "ray_segments/s/chip",
+        "vs_baseline": 1.0,
     }))
 
 

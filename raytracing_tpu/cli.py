@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use N^3 uniform-grid acceleration (0 = brute force)")
     p.add_argument("--pallas", action="store_true",
                    help="use fused Pallas closest-hit kernels")
+    p.add_argument("--no-megakernel", action="store_true",
+                   help="disable the whole-pass fused Pallas megakernel "
+                        "(on by default for the path renderer; configs it "
+                        "does not cover fall back automatically)")
     p.add_argument("--chunk-passes", type=int, default=8,
                    help="passes per jit call (progress granularity)")
     p.add_argument("-o", "--output", default="render.png")
@@ -103,7 +107,8 @@ def main(argv=None) -> int:
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        bounces=args.bounces, exposure=args.exposure,
                        seed=args.seed, use_grid=args.grid > 0,
-                       n_slabs=max(args.grid, 1), use_pallas=args.pallas)
+                       n_slabs=max(args.grid, 1), use_pallas=args.pallas,
+                       use_megakernel=not args.no_megakernel)
     if args.grid > 0:
         from .accel import prepare_grids
         scene = prepare_grids(scene, args.grid)

@@ -167,21 +167,23 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
 
     shape = (SUBLANES, LANES)
     pid = pl.program_id(0)
+    roff = ipar[1]                   # global ray offset of this shard
     if not use_u:
-        # one mixed scalar: (render seed, pass, tile) -> int32; the odd
-        # multipliers keep distinct (pass, tile) pairs distinct
+        # one mixed scalar: (render seed, pass, shard offset, tile) -> i32;
+        # the offset term keeps shards of a multi-chip render decorrelated
         mixed = (jnp.int32(seed & 0x7FFFFFFF) * jnp.int32(1000003)
-                 + ipar[0] * jnp.int32(40503) + pid)
+                 + ipar[0] * jnp.int32(40503) + roff * jnp.int32(131) + pid)
         pltpu.prng_seed(mixed)
     draws = _Draws(u_ref, shape)
 
     # ---- ray ids / pixel coordinates (f32 exact below 2^24, asserted by
-    # the wrapper) ------------------------------------------------------
+    # the wrapper). ``rid`` is shard-local (bounds mask + block indexing);
+    # pixel decode uses the GLOBAL id. ----------------------------------
     rid = ((pid * SUBLANES
             + jax.lax.broadcasted_iota(jnp.int32, shape, 0)) * LANES
            + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
     in_range = rid < n_rays
-    ridf = rid.astype(jnp.float32)
+    ridf = (rid + roff).astype(jnp.float32)
     sppf = jnp.float32(spp)
     pix = jnp.floor(ridf / sppf)
     samp = ridf - pix * sppf
@@ -555,6 +557,9 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
     mat (M, 4): rgba; lig (L, 20): [pos, normal, irr, irr_normalized,
     radius, area, tangent, bitangent];
     u_planes: (n_draws*2, R) precomputed uniforms or None for on-core PRNG.
+    ipar: (2,) i32 [pass_idx, ray_offset] — ray_offset is the global index
+    of this shard's first ray (0 single-device; shard_map passes
+    axis_index * local_R).
     """
     R = acc.shape[0]
     assert R < (1 << 24), "megakernel pixel math is exact f32 below 2^24 rays"

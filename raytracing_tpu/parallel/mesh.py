@@ -74,8 +74,33 @@ def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
 
 def sharded_render_passes(mesh: Mesh, cfg: RenderConfig, n_passes: int):
     """Compile a render-passes fn whose ray-indexed state is sharded over the
-    'rays' mesh axis. Scene is replicated; forward needs no collectives."""
+    'rays' mesh axis. Scene is replicated; forward needs no collectives.
+
+    cfg.use_megakernel routes through shard_map (GSPMD cannot partition a
+    pallas_call): each shard runs the fused kernel on its local ray slice
+    with the global ray offset for pixel decode + PRNG decorrelation."""
     sh = _state_sharding(mesh)
+    from ..render import mega
+    if cfg.use_megakernel and mega.supported(None, cfg):
+        from jax.experimental.shard_map import shard_map
+
+        n_shards = mesh.shape["rays"]
+        assert cfg.total_rays % n_shards == 0
+        local_r = cfg.total_rays // n_shards
+
+        def local_passes(scene, state):
+            off = jax.lax.axis_index("rays") * local_r
+            for _ in range(n_passes):
+                state = mega.render_pass_mega(scene, state, cfg,
+                                              ray_offset=off)
+            return state
+
+        spec_state = {"acc": P("rays", None), "key": P(), "passes": P()}
+        fn = jax.jit(shard_map(
+            local_passes, mesh=mesh,
+            in_specs=(P(), spec_state), out_specs=spec_state,
+            check_rep=False))
+        return fn
     fn = jax.jit(
         lambda scene, state: pathtracer.render_passes(scene, state, cfg,
                                                       n_passes),

@@ -67,8 +67,9 @@ def scene_tables(scene: Scene, cfg: RenderConfig
     return par, sph, tri, mat, lig
 
 
-def supported(scene: Scene, cfg: RenderConfig) -> bool:
-    """The megakernel covers the default brute-force forward path."""
+def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
+    """The megakernel covers the default brute-force forward path
+    (config-only decision; ``scene`` is accepted for call-site symmetry)."""
     return (not cfg.use_grid and not cfg.russian_roulette
             and not cfg.replicate_stale_poi
             and cfg.total_rays < (1 << 24))
@@ -76,10 +77,15 @@ def supported(scene: Scene, cfg: RenderConfig) -> bool:
 
 def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
                      u_planes: Array | None = None,
-                     interpret: bool | None = None) -> dict:
+                     interpret: bool | None = None,
+                     ray_offset: Array | int = 0) -> dict:
     """One progressive pass, megakernel edition. Same state contract as
     pathtracer._render_pass; forward-only (no custom VJP — use the XLA
-    path for gradients)."""
+    path for gradients).
+
+    Under shard_map, ``state['acc']`` is the shard-local slice and
+    ``ray_offset`` the global index of its first ray (axis_index * local_R):
+    pixel decode and PRNG decorrelation use the global id."""
     assert supported(scene, cfg), \
         "megakernel: unsupported config (grid/RR/stale-POI/ray-count)"
     if interpret is None:
@@ -87,11 +93,18 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
     if interpret and u_planes is None:
         # interpret mode cannot lower the on-core PRNG (pltpu.prng_seed has
         # no CPU rule); draw the pass-wide threefry tensor instead — this is
-        # also what makes CPU output bit-identical to the XLA pipeline
+        # also what makes CPU output bit-identical to the XLA pipeline.
+        # Sharded: draw the GLOBAL tensor (key/passes are replicated, so all
+        # shards agree) and slice this shard's rays.
         u_planes = u_planes_for_pass(state["key"], state["passes"], cfg,
                                      scene.lights.count)
+        local = state["acc"].shape[0]
+        if local != cfg.total_rays or not isinstance(ray_offset, int):
+            u_planes = jax.lax.dynamic_slice_in_dim(
+                u_planes, jnp.asarray(ray_offset, jnp.int32), local, axis=1)
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
-    ipar = jnp.asarray([state["passes"]], jnp.int32).reshape(1)
+    ipar = jnp.stack([jnp.asarray(state["passes"], jnp.int32),
+                      jnp.asarray(ray_offset, jnp.int32)])
     acc = MK.pathtrace_pass_pallas(
         par, ipar, sph, tri, mat, lig, state["acc"], u_planes,
         spp=cfg.spp, width=cfg.width, bounces=cfg.bounces,

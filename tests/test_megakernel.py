@@ -80,6 +80,32 @@ def test_config_gating(small_scene):
                                       russian_roulette=True))
 
 
+def test_sharded_megakernel_matches_single_device(small_scene):
+    """8-device CPU mesh: shard_map'd megakernel render must equal the
+    single-device megakernel render (same global threefry planes, shards
+    slice by ray offset)."""
+    from raytracing_tpu.parallel import mesh as pm
+
+    cfg = RenderConfig(width=64, height=48, spp=1, bounces=1,
+                       use_megakernel=True)
+    scene = small_scene
+
+    single = pathtracer.init_state(cfg)
+    for _ in range(2):
+        single = render_pass_mega(scene, single, cfg, interpret=True)
+
+    m = pm.make_mesh(8)
+    sc = pm.replicate_scene(scene, m)
+    st = pm.shard_state(pathtracer.init_state(cfg), m)
+    fn = pm.sharded_render_passes(m, cfg, n_passes=2)
+    st = fn(sc, st)
+    got, ref = np.asarray(st["acc"]), np.asarray(single["acc"])
+    # same hit/credit pattern exactly; values to fp-reassociation tolerance
+    assert ((got != 0) == (ref != 0)).all()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-5)
+    assert int(st["passes"]) == 2
+
+
 def test_internal_prng_statistics(small_scene):
     """On-core PRNG mode: per-pixel estimates differ from threefry but the
     image means must agree (same unbiased estimator)."""
