@@ -567,6 +567,12 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
     n_tiles = P // TILE
 
     acc_planes = [_pad_plane(acc[:, c], P) for c in range(3)]
+
+    def nonempty(t: Array) -> Array:
+        # zero-row VMEM operands fail Mosaic layout verification; the
+        # matching n_* count is 0 so the dummy row is never read
+        return t if t.shape[0] else jnp.zeros((1,) + t.shape[1:], t.dtype)
+
     n_args = dict(n_rays=R, spp=spp, width=width, bounces=bounces,
                   n_sph=sph.shape[0], n_tri=tri.shape[0],
                   n_mat=mat.shape[0], n_lig=lig.shape[0],
@@ -583,6 +589,7 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
         # instead of a VMEM load+rotate+extract chain per element
         return smem if t.size <= SMEM_TABLE_MAX else vmem
 
+    sph, tri, mat, lig = map(nonempty, (sph, tri, mat, lig))
     in_specs = [smem, smem, table_spec(sph), table_spec(tri),
                 table_spec(mat), table_spec(lig)]
     args = [ipar, par, sph, tri, mat, lig]

@@ -81,32 +81,40 @@ def sharded_render_passes(mesh: Mesh, cfg: RenderConfig, n_passes: int):
     with the global ray offset for pixel decode + PRNG decorrelation."""
     sh = _state_sharding(mesh)
     from ..render import mega
-    if cfg.use_megakernel and mega.supported(None, cfg):
-        from jax.experimental.shard_map import shard_map
 
-        n_shards = mesh.shape["rays"]
-        assert cfg.total_rays % n_shards == 0
-        local_r = cfg.total_rays // n_shards
-
-        def local_passes(scene, state):
-            off = jax.lax.axis_index("rays") * local_r
-            for _ in range(n_passes):
-                state = mega.render_pass_mega(scene, state, cfg,
-                                              ray_offset=off)
-            return state
-
-        spec_state = {"acc": P("rays", None), "key": P(), "passes": P()}
-        fn = jax.jit(shard_map(
-            local_passes, mesh=mesh,
-            in_specs=(P(), spec_state), out_specs=spec_state,
-            check_rep=False))
-        return fn
-    fn = jax.jit(
+    fn_gspmd = jax.jit(
         lambda scene, state: pathtracer.render_passes(scene, state, cfg,
                                                       n_passes),
         in_shardings=(None, sh),   # scene keeps its (replicated) placement
         out_shardings=sh,
     )
+    if not (cfg.use_megakernel and mega.supported(None, cfg)):
+        return fn_gspmd
+
+    from jax.experimental.shard_map import shard_map
+
+    n_shards = mesh.shape["rays"]
+    assert cfg.total_rays % n_shards == 0
+    local_r = cfg.total_rays // n_shards
+
+    def local_passes(scene, state):
+        off = jax.lax.axis_index("rays") * local_r
+        for _ in range(n_passes):
+            state = mega.render_pass_mega(scene, state, cfg, ray_offset=off)
+        return state
+
+    spec_state = {"acc": P("rays", None), "key": P(), "passes": P()}
+    fn_mega = jax.jit(shard_map(
+        local_passes, mesh=mesh,
+        in_specs=(P(), spec_state), out_specs=spec_state,
+        check_rep=False))
+
+    def fn(scene, state):
+        # scene-size check happens at call time: big scenes (beyond the
+        # kernel's unroll budget) take the GSPMD stage-pipeline path
+        if mega.supported(scene, cfg):
+            return fn_mega(scene, state)
+        return fn_gspmd(scene, state)
     return fn
 
 

@@ -68,11 +68,21 @@ def scene_tables(scene: Scene, cfg: RenderConfig
 
 
 def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
-    """The megakernel covers the default brute-force forward path
-    (config-only decision; ``scene`` is accepted for call-site symmetry)."""
-    return (not cfg.use_grid and not cfg.russian_roulette
-            and not cfg.replicate_stale_poi
-            and cfg.total_rays < (1 << 24))
+    """The megakernel covers the default brute-force forward path for
+    scenes whose object loops fit the static-unroll budget (object
+    constants become CSE'd static loads). Beyond that the per-object
+    dynamic VMEM scalar loads lose to the XLA pipeline's dense (O, R)
+    formulation (measured: 12 objects -> mega 8.8x faster; 1022 objects ->
+    mega 2.6x slower), so big scenes auto-route to the stage pipeline.
+    With ``scene=None`` only the config is checked (build-time call sites)."""
+    ok = (not cfg.use_grid and not cfg.russian_roulette
+          and not cfg.replicate_stale_poi
+          and cfg.total_rays < (1 << 24))
+    if scene is None or not ok:
+        return ok
+    from ..render.stages import _all_triangles
+    return (scene.spheres.count <= MK.UNROLL_OBJECTS
+            and _all_triangles(scene).count <= MK.UNROLL_OBJECTS)
 
 
 def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,

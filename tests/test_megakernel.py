@@ -78,6 +78,11 @@ def test_config_gating(small_scene):
     assert not supported(small_scene,
                          RenderConfig(width=8, height=8,
                                       russian_roulette=True))
+    # scenes beyond the static-unroll budget auto-route to the XLA pipeline
+    from raytracing_tpu.models.scenes import sphere_field
+    big = sphere_field(65, cols=8, rows=8)
+    assert not supported(big, ok)
+    assert supported(sphere_field(64, cols=8, rows=8), ok)
 
 
 def test_sharded_megakernel_matches_single_device(small_scene):
