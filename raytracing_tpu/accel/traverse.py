@@ -94,20 +94,48 @@ def _march(rays: Rays, grid: Grid, cell_test, R: int):
     return best_t, best_i
 
 
+def _best_of_cell(t: Array, ids: Array) -> tuple[Array, Array]:
+    """(R, K) candidate ts + item ids -> per-ray (t, id). Fusable where/min
+    instead of argmin + gather (ties between distinct objects at identical
+    float t are resolved to the smaller id; the reference resolves to cell
+    slot order — indistinguishable in practice)."""
+    tb = t.min(-1)
+    big = jnp.int32(2 ** 30)
+    kb = jnp.where(t == tb[:, None], ids, big).min(-1)
+    return tb, jnp.where(jnp.isfinite(tb), kb, -1)
+
+
 # ---------------------------------------------------------------------------
 # Spheres
 # ---------------------------------------------------------------------------
 
 def grid_closest_spheres(rays: Rays, spheres: Spheres, grid: Grid) -> Champion:
     R = rays.n
+    C, K = grid.items.shape
+
+    # Per-cell parameter table, built ONCE per trace (tiny (C, K) gather over
+    # the object arrays; XLA hoists it out of the march loop). Per DDA step
+    # the cell row is then fetched with ONE one-hot matmul — per-ray dynamic
+    # gathers inside the loop cost ~7 ms each at 1M rays on TPU and made the
+    # grid path ~300x slower than brute force.
+    safe = jnp.maximum(grid.items, 0)
+    valid_item = (grid.items >= 0) & spheres.mask[safe]          # (C, K)
+    cell_tab = jnp.concatenate([
+        spheres.center[safe],                                    # (C, K, 3)
+        spheres.radius[safe][..., None],
+        valid_item[..., None].astype(jnp.float32),
+        safe[..., None].astype(jnp.float32),                     # item id
+    ], axis=-1).reshape(C, K * 6)
 
     def cell_test(cell_id, active):
-        items = grid.items[cell_id]                       # (R,K) gather
-        mask = (items >= 0) & active[:, None]
-        safe = jnp.maximum(items, 0)
-        c = spheres.center[safe]                          # (R,K,3)
-        r = spheres.radius[safe]                          # (R,K)
-        mask = mask & spheres.mask[safe]
+        # out-of-range cell_id matches no one-hot row -> zero params ->
+        # mask 0 -> INF (no gather-OOB hazard)
+        f = onehot_fetch(cell_tab, cell_id,
+                         obj_chunk=max(C, 1)).reshape(R, K, 6)
+        c = f[..., 0:3]
+        r = f[..., 3]
+        mask = (f[..., 4] > 0.0) & active[:, None]
+        ids = f[..., 5].astype(jnp.int32)
         omc = rays.o[:, None, :] - c
         a = jnp.sum(rays.d * rays.d, -1)[:, None]
         b = 2.0 * jnp.sum(omc * rays.d[:, None, :], -1)
@@ -124,10 +152,7 @@ def grid_closest_spheres(rays: Rays, spheres: Spheres, grid: Grid) -> Champion:
         t = jnp.where((tmn >= lo) & (tmn <= hi), tmn,
                       jnp.where((tmx >= lo) & (tmx <= hi), tmx, INF))
         t = jnp.where(has & mask, t, INF)
-        k = jnp.argmin(t, -1)
-        rr = jnp.arange(R)
-        return t[rr, k], jnp.where(jnp.isfinite(t[rr, k]),
-                                   items[rr, k], -1)
+        return _best_of_cell(t, ids)
 
     best_t, best_i = jax.lax.stop_gradient(_march(rays, grid, cell_test, R))
     valid = jnp.isfinite(best_t) & rays.alive
@@ -161,32 +186,48 @@ def grid_closest_triangles(rays: Rays, tris: Triangles, grid: Grid,
                            two_sided: bool = False) -> Champion:
     R = rays.n
 
+    C, K = grid.items.shape
+    # per-cell Moller-Trumbore constants (same split as
+    # ops.intersect.tri_constants), built once; see the note in
+    # grid_closest_spheres on why no per-ray gathers appear in the loop
+    from ..ops.intersect import tri_constants
+    tc = tri_constants(tris.v)
+    safe = jnp.maximum(grid.items, 0)
+    valid_item = (grid.items >= 0) & tris.mask[safe]             # (C, K)
+    cell_tab = jnp.concatenate([
+        tc.n_geo[safe], tc.c1[safe], tc.c2[safe],
+        tc.e1[safe], tc.e2[safe], tc.k[safe][..., None],
+        valid_item[..., None].astype(jnp.float32),
+        safe[..., None].astype(jnp.float32),
+    ], axis=-1).reshape(C, K * 18)
+
+    oxd = jnp.cross(rays.o, rays.d)                              # (R, 3)
+
     def cell_test(cell_id, active):
-        items = grid.items[cell_id]                       # (R,K)
-        mask = (items >= 0) & active[:, None]
-        safe = jnp.maximum(items, 0)
-        v = tris.v[safe]                                  # (R,K,3,3)
-        mask = mask & tris.mask[safe]
-        p0, p1, p2 = v[:, :, 0], v[:, :, 1], v[:, :, 2]
-        e1 = p1 - p0
-        e2 = p2 - p0
+        f = onehot_fetch(cell_tab, cell_id,
+                         obj_chunk=max(C, 1)).reshape(R, K, 18)
+        n_geo = f[..., 0:3]
+        c1 = f[..., 3:6]
+        c2 = f[..., 6:9]
+        e1 = f[..., 9:12]
+        e2 = f[..., 12:15]
+        kk = f[..., 15]
+        mask = (f[..., 16] > 0.0) & active[:, None]
+        ids = f[..., 17].astype(jnp.int32)
         dd = rays.d[:, None, :]
-        div = jnp.sum(jnp.cross(e2, e1) * dd, -1)         # (R,K)
+        oo = rays.o[:, None, :]
+        xx = oxd[:, None, :]
+        div = jnp.sum(n_geo * dd, -1)                            # (R, K)
         side_ok = (div != 0.0) if two_sided else (div > 0.0)
-        safe_div = jnp.where(div == 0.0, 1.0, div)
-        idiv = 1.0 / safe_div
-        s = rays.o[:, None, :] - p0
-        beta = jnp.sum(jnp.cross(s, dd) * e2, -1) * idiv
-        gamma = jnp.sum(jnp.cross(s, e1) * dd, -1) * idiv
-        t = jnp.sum(jnp.cross(s, e2) * e1, -1) * -idiv
+        idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+        beta = (jnp.sum(e2 * xx, -1) - jnp.sum(c2 * dd, -1)) * idiv
+        gamma = (jnp.sum(c1 * dd, -1) - jnp.sum(e1 * xx, -1)) * idiv
+        t = (kk - jnp.sum(n_geo * oo, -1)) * idiv
         ok = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) & \
             (beta + gamma <= 1.0) & (t >= rays.mint[:, None]) & \
             (t <= rays.maxt[:, None]) & mask
         t = jnp.where(ok, t, INF)
-        k = jnp.argmin(t, -1)
-        rr = jnp.arange(R)
-        return t[rr, k], jnp.where(jnp.isfinite(t[rr, k]),
-                                   items[rr, k], -1)
+        return _best_of_cell(t, ids)
 
     best_t, best_i = jax.lax.stop_gradient(_march(rays, grid, cell_test, R))
     valid = jnp.isfinite(best_t) & rays.alive

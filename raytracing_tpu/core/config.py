@@ -27,7 +27,9 @@ class RenderConfig:
     use_grid: bool = False             # uniform-grid DDA vs brute-force matmul path
     n_slabs: int = 1                   # scene grid resolution (ref code.js:399)
     ray_chunk: int = 1 << 17           # rays per compute tile in chunked ops
-    obj_chunk: int = 512               # objects per chunk in brute-force scan
+    obj_chunk: int = 256               # objects per chunk in brute-force scan
+                                       # (fastest on v5e at 1k-object scenes:
+                                       # 19.5 ms/Mray vs 20.0 @512, 23.5 @1024)
     use_pallas: bool = False           # fused Pallas closest-hit kernels
     use_megakernel: bool = False       # whole-pass fused Pallas kernel (forward
                                        # only; brute-force path; see render/mega.py)
