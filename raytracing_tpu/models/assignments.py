@@ -160,7 +160,8 @@ def assign08(cols=320, rows=240, scene_xml: str | None = None):
         scene = load_scene(scene_xml, cols, rows)
     else:
         scene = cornell_box(cols=cols, rows=rows)
-    cfg = RenderConfig(width=cols, height=rows, spp=1, bounces=0)
+    cfg = RenderConfig(width=cols, height=rows, spp=1, bounces=0,
+                       use_megakernel=True)
     return render_direct, (scene, cfg), cfg
 
 
@@ -169,7 +170,8 @@ def assign09(cols=320, rows=240, spp=4, focal_length=2.8,
     """Thin-lens depth of field with stratified lens sampling."""
     scene = cornell_box(cols=cols, rows=rows, focal_length=focal_length,
                         lens_diameter=lens_diameter)
-    cfg = RenderConfig(width=cols, height=rows, spp=spp, bounces=0)
+    cfg = RenderConfig(width=cols, height=rows, spp=spp, bounces=0,
+                       use_megakernel=True)
     return render_direct, (scene, cfg), cfg
 
 
@@ -181,7 +183,8 @@ def assign10(cols=320, rows=240, spp=1, bounces=5, passes=32,
         scene = load_scene(scene_xml, cols, rows)
     else:
         scene = cornell_box(cols=cols, rows=rows)
-    cfg = RenderConfig(width=cols, height=rows, spp=spp, bounces=bounces)
+    cfg = RenderConfig(width=cols, height=rows, spp=spp, bounces=bounces,
+                       use_megakernel=True)
 
     def run():
         state = init_state(cfg)

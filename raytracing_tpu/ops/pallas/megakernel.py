@@ -67,8 +67,8 @@ def _loop_objects(n: int, body, init):
 
 # scalar-parameter vector layout (SMEM f32)
 _PAR = dict(eye=0, u=3, v=6, w=9, film_w=12, film_h=13, cols=14, rows=15,
-            focal=16, lens_r=17, pmin=18, pmax=21, eps=24)
-NPAR = 25
+            focal=16, lens_r=17, pmin=18, pmax=21, eps=24, ambient=25)
+NPAR = 26
 
 
 # ---------------------------------------------------------------------------
@@ -155,7 +155,7 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
                         n_rays: int, spp: int, width: int, bounces: int,
                         n_sph: int, n_tri: int, n_mat: int, n_lig: int,
                         two_sided: bool, normalize_emitter: bool,
-                        use_u: bool, seed: int):
+                        use_u: bool, seed: int, mode: str = "path"):
     if use_u:
         u_ref = rest[0]
         acc_in = rest[1:4]
@@ -421,6 +421,48 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
     maxt, hit = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
     hpx, hpy, hpz, hnx, hny, hnz, matf = hit
 
+    if mode == "direct":
+        # Assign08 shade: ambient + clamped cosine toward a sampled light
+        # point when unoccluded, times albedo (ref Assign08 code.cl:916-939;
+        # render/direct.py). No emitter pass, no throughput, no bounces.
+        ambient = P("ambient")
+        valid = matf >= 0.0
+        for li in range(n_lig):
+            lpx, lpy, lpz = lig[li, 0], lig[li, 1], lig[li, 2]
+            rad = lig[li, 12]
+            tax, tay, taz = lig[li, 14], lig[li, 15], lig[li, 16]
+            bax, bay, baz = lig[li, 17], lig[li, 18], lig[li, 19]
+            u0, u1 = draws.pair()
+            sx, sy = _concentric(u0, u1)
+            sx = sx * rad
+            sy = sy * rad
+            tgx = lpx + sx * tax + sy * bax
+            tgy = lpy + sx * tay + sy * bay
+            tgz = lpz + sx * taz + sy * baz
+            sox = hpx + eps * hnx
+            soy = hpy + eps * hny
+            soz = hpz + eps * hnz
+            dlx = tgx - sox
+            dly = tgy - soy
+            dlz = tgz - soz
+            d2 = dlx * dlx + dly * dly + dlz * dlz
+            dist = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+            dist = jnp.where(d2 > 0.0, dist, 0.0)
+            sdx, sdy, sdz = _normalize3(dlx, dly, dlz)
+            smint = jnp.where(valid, 0.0, inf2)
+            smaxt = jnp.where(valid, dist, inf2)
+            occ = anyhit(sox, soy, soz, sdx, sdy, sdz, smint, smaxt)
+            cosx = jnp.clip(sdx * hnx + sdy * hny + sdz * hnz, 0.0, 1.0)
+            shade = jnp.clip(ambient + jnp.where(occ, 0.0, cosx), 0.0, 1.0)
+            ar, ag, ab = albedo_of(matf)
+            accr = accr + jnp.where(valid, ar * shade, 0.0)
+            accg = accg + jnp.where(valid, ag * shade, 0.0)
+            accb = accb + jnp.where(valid, ab * shade, 0.0)
+        acc_out[0][:] = accr
+        acc_out[1][:] = accg
+        acc_out[2][:] = accb
+        return
+
     # ---- lightRender: emitter hits on the PRIMARY segment only
     #      (ref code.cl:600-629; render/stages.py light_render) ----------
     for li in range(n_lig):
@@ -548,7 +590,8 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                           u_planes: Array | None, *,
                           spp: int, width: int, bounces: int,
                           two_sided: bool, normalize_emitter: bool,
-                          seed: int, interpret: bool = False) -> Array:
+                          seed: int, interpret: bool = False,
+                          mode: str = "path") -> Array:
     """One progressive pass over ``acc`` (R, 3) -> new (R, 3).
 
     par: (NPAR,) f32 scalars; ipar: (1,) i32 [pass_idx];
@@ -577,7 +620,7 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                   n_sph=sph.shape[0], n_tri=tri.shape[0],
                   n_mat=mat.shape[0], n_lig=lig.shape[0],
                   two_sided=two_sided, normalize_emitter=normalize_emitter,
-                  use_u=u_planes is not None, seed=seed)
+                  use_u=u_planes is not None, seed=seed, mode=mode)
 
     ray_block = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)

@@ -31,6 +31,10 @@ INF = jnp.inf
 @partial(jax.jit, static_argnames=("cfg",))
 def render_direct(scene: Scene, cfg: RenderConfig, key=None) -> Array:
     """(H, W, 3) float image in [0,1]."""
+    if cfg.use_megakernel:
+        from .mega import render_direct_mega, supported
+        if supported(scene, cfg):
+            return render_direct_mega(scene, cfg, key=key)
     if key is None:
         key = rng.base_key(cfg.seed)
     cam = replace(scene.camera, cols=cfg.width, rows=cfg.height)

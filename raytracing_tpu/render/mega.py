@@ -31,7 +31,7 @@ def scene_tables(scene: Scene, cfg: RenderConfig
         cam.eye, cam.u, cam.v, cam.w,
         jnp.stack([jnp.asarray(s, jnp.float32).reshape(()) for s in scal]),
         scene.bounds.pmin, scene.bounds.pmax,
-        jnp.asarray([cfg.shadow_eps], jnp.float32),
+        jnp.asarray([cfg.shadow_eps, cfg.ambient], jnp.float32),
     ]).astype(jnp.float32)
     assert par.shape[0] == MK.NPAR
 
@@ -122,6 +122,53 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
         normalize_emitter=cfg.normalize_emitter,
         seed=cfg.seed, interpret=interpret)
     return {"acc": acc, "key": state["key"], "passes": state["passes"] + 1}
+
+
+def render_direct_mega(scene: Scene, cfg: RenderConfig,
+                       key: Array | None = None,
+                       u_planes: Array | None = None,
+                       interpret: bool | None = None) -> Array:
+    """Assign08/09 direct-lighting render through the fused kernel
+    (render/direct.py semantics: ambient + clamped cosine, mean over spp,
+    1/n_lights divisor)."""
+    import jax.numpy as jnp
+
+    from ..core import rng
+    assert supported(scene, cfg)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if key is None:
+        key = rng.base_key(cfg.seed)
+    if interpret and u_planes is None:
+        u_planes = u_planes_for_direct(key, cfg, scene.lights.count)
+    par, sph, tri, mat, lig = scene_tables(scene, cfg)
+    ipar = jnp.zeros((2,), jnp.int32)
+    acc = MK.pathtrace_pass_pallas(
+        par, ipar, sph, tri, mat, lig,
+        jnp.zeros((cfg.total_rays, 3), jnp.float32), u_planes,
+        spp=cfg.spp, width=cfg.width, bounces=0,
+        two_sided=cfg.two_sided_triangles,
+        normalize_emitter=cfg.normalize_emitter,
+        seed=cfg.seed, interpret=interpret, mode="direct")
+    n_lights = max(scene.lights.count, 1)
+    img = acc.reshape(cfg.height, cfg.width, cfg.spp, 3).mean(2) / n_lights
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def u_planes_for_direct(key: Array, cfg: RenderConfig,
+                        n_lights: int) -> Array:
+    """Exact draws of render/direct.py in kernel plane layout:
+    lens pair (draw_key LENS), then one pair per light (draw_key LIGHT)."""
+    from ..core import rng
+    R = cfg.total_rays
+    rows = []
+    lens = jax.random.uniform(rng.draw_key(key, rng.LENS), (R, 2)) \
+        if cfg.spp == 1 else jnp.zeros((R, 2))
+    rows += [lens[:, 0], lens[:, 1]]
+    for li in range(n_lights):
+        u = rng.uniform2(rng.draw_key(key, rng.LIGHT, 0, li), R)
+        rows += [u[:, 0], u[:, 1]]
+    return jnp.stack(rows)
 
 
 def u_planes_for_pass(key: Array, passes: Array, cfg: RenderConfig,

@@ -111,6 +111,31 @@ def test_sharded_megakernel_matches_single_device(small_scene):
     assert int(st["passes"]) == 2
 
 
+@pytest.mark.parametrize("spp,lens", [(1, 0.0), (4, 0.1)])
+def test_direct_mode_matches_xla(small_scene, spp, lens):
+    """Direct-lighting megakernel vs render_direct with identical draws
+    (Assign08 pinhole and Assign09 thin-lens/spp4 shapes)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from raytracing_tpu.core import rng
+    from raytracing_tpu.render.direct import render_direct
+    from raytracing_tpu.render.mega import (render_direct_mega,
+                                            u_planes_for_direct)
+
+    scene = dataclasses.replace(small_scene,
+                                lens_radius=jnp.float32(lens))
+    cfg = RenderConfig(width=32, height=24, spp=spp, bounces=0)
+    key = rng.base_key(cfg.seed)
+    ref = render_direct(scene, cfg)
+    u = u_planes_for_direct(key, cfg, scene.lights.count)
+    got = render_direct_mega(scene, cfg, key=key, u_planes=u,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_internal_prng_statistics(small_scene):
     """On-core PRNG mode: per-pixel estimates differ from threefry but the
     image means must agree (same unbiased estimator)."""
