@@ -31,7 +31,9 @@ def main() -> None:
 
     width = int(os.environ.get("BENCH_WIDTH", "1024"))
     height = int(os.environ.get("BENCH_HEIGHT", "1024"))
-    passes = int(os.environ.get("BENCH_PASSES", "4"))
+    # 16 passes per jit call = steady-state progressive throughput (at 4 the
+    # ~6 ms relay dispatch overhead still eats ~25% of a megakernel call)
+    passes = int(os.environ.get("BENCH_PASSES", "16"))
     mode = os.environ.get("BENCH_MODE", "forward")   # forward | train
     scene_name = os.environ.get("BENCH_SCENE", "cornell")
     bounces = int(os.environ.get("BENCH_BOUNCES", "5"))

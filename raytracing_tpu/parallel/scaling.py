@@ -43,16 +43,18 @@ def measure_rays_per_s(scene: Scene, cfg: RenderConfig, n_devices: int,
 
 def scaling_report(scene_fn, width: int, height: int,
                    device_counts=(1, 2, 4, 8), bounces: int = 3,
-                   weak: bool = True) -> list[dict]:
+                   weak: bool = True, megakernel: bool = False) -> list[dict]:
     """Weak scaling: rays per device held constant (width scales with N).
-    Strong scaling (weak=False): fixed total work."""
+    Strong scaling (weak=False): fixed total work. ``megakernel`` routes
+    each shard through the fused Pallas kernel (TPU meshes)."""
     rows = []
     base = None
     for n in device_counts:
         if n > len(jax.devices()):
             break
         w = width * n if weak else width
-        cfg = RenderConfig(width=w, height=height, spp=1, bounces=bounces)
+        cfg = RenderConfig(width=w, height=height, spp=1, bounces=bounces,
+                           use_megakernel=megakernel)
         scene = scene_fn(w, height)
         rps = measure_rays_per_s(scene, cfg, n)
         per_dev = rps / n
