@@ -104,31 +104,37 @@ def _config_bench(jax, config: int, width: int, height: int) -> None:
     from raytracing_tpu import RenderConfig
     from raytracing_tpu.models import assignments as A
 
+    kw = {}
     if config == 1:
         render, args, cfg = A.assign01(width, height)
         name, work = "fake_shade_sphere", width * height
     elif config == 2:
         render, args, cfg = A.assign08(width, height)
-        # primary + per-light shadow segment
+        # primary + per-light shadow segment; progressive accumulation
+        # (fresh light-disk samples per pass -> converging soft shadows)
+        # inside one jit call = steady-state, like config 5
+        kw["n_passes"] = int(os.environ.get("BENCH_PASSES", "16"))
         name, work = "direct_lighting", None
     elif config == 3:
         render, args, cfg = A.assign07(width, height, n_slabs=4)
         name, work = "mesh_grid_dda", None
     elif config == 4:
         render, args, cfg = A.assign09(width, height, spp=4)
+        kw["n_passes"] = int(os.environ.get("BENCH_PASSES", "16"))
         name, work = "thin_lens_spp4", None
     else:
         raise SystemExit(f"BENCH_CONFIG must be 1..5, got {config}")
     if work is None:
         scene = args[0]
-        work = cfg.total_rays * (1 + scene.lights.count)
+        work = cfg.total_rays * (1 + scene.lights.count) \
+            * kw.get("n_passes", 1)
 
-    out = render(*args)
+    out = render(*args, **kw)
     float(out.ravel()[0])
     reps = int(os.environ.get("BENCH_REPS", "10"))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = render(*args)
+        out = render(*args, **kw)
     float(out.ravel()[0])
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({

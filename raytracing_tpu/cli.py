@@ -152,9 +152,11 @@ def main(argv=None) -> int:
 
     if args.renderer == "direct":
         from .render.direct import render_direct
-        img = np.array(render_direct(scene, cfg))
+        # --passes: progressive accumulation of independent estimates
+        # (soft shadows / DoF converge) in one jitted program
+        img = np.array(render_direct(scene, cfg, n_passes=args.passes))
         write_png(args.output, img)
-        print(f"wrote {args.output}")
+        print(f"wrote {args.output} ({args.passes} passes)")
         return 0
 
     ckpt = args.checkpoint or (args.output + ".ckpt.npz")

@@ -28,15 +28,41 @@ Array = jax.Array
 INF = jnp.inf
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def render_direct(scene: Scene, cfg: RenderConfig, key=None) -> Array:
-    """(H, W, 3) float image in [0,1]."""
+@partial(jax.jit, static_argnames=("cfg", "n_passes"))
+def render_direct(scene: Scene, cfg: RenderConfig, key=None,
+                  n_passes: int = 1) -> Array:
+    """(H, W, 3) float image in [0,1].
+
+    ``n_passes > 1`` accumulates that many independent direct-lighting
+    estimates (fresh lens + light-disk samples per pass) inside ONE jitted
+    program — the progressive-accumulation idea of the reference's
+    continuosRender (Assign09/10 code.js) applied to the Assign08/09
+    single-bounce pipelines: soft shadows and depth of field converge with
+    passes, and there is no host dispatch between passes."""
     if cfg.use_megakernel:
         from .mega import render_direct_mega, supported
         if supported(scene, cfg):
-            return render_direct_mega(scene, cfg, key=key)
+            return render_direct_mega(scene, cfg, key=key, n_passes=n_passes)
     if key is None:
         key = rng.base_key(cfg.seed)
+
+    if n_passes == 1:
+        acc = _direct_pass_acc(scene, cfg, key)
+    else:
+        def body(p, acc):
+            return acc + _direct_pass_acc(scene, cfg, rng.pass_key(key, p))
+
+        acc = jax.lax.fori_loop(0, n_passes, body,
+                                jnp.zeros((cfg.total_rays, 3)))
+    n_lights = max(scene.lights.count, 1)
+    img = acc.reshape(cfg.height, cfg.width, cfg.spp, 3).mean(2) \
+        / (n_lights * n_passes)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def _direct_pass_acc(scene: Scene, cfg: RenderConfig, key) -> Array:
+    """One direct-lighting estimate: per-ray accumulated radiance (R, 3),
+    BEFORE the 1/n_lights divisor and clip."""
     cam = replace(scene.camera, cols=cfg.width, rows=cfg.height)
     # scene.lens_radius == 0 -> pinhole (Assign08); > 0 -> thin-lens DoF with
     # stratified spp sampling (Assign09, ref initTrace code.cl:482-509)
@@ -73,6 +99,4 @@ def render_direct(scene: Scene, cfg: RenderConfig, key=None) -> Array:
         contrib = albedo * jnp.clip(shade, 0.0, 1.0)[:, None]
         acc = acc + jnp.where(hits.valid[:, None], contrib, 0.0)
 
-    n_lights = max(scene.lights.count, 1)
-    img = acc.reshape(cfg.height, cfg.width, cfg.spp, 3).mean(2) / n_lights
-    return jnp.clip(img, 0.0, 1.0)
+    return acc

@@ -127,10 +127,16 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
 def render_direct_mega(scene: Scene, cfg: RenderConfig,
                        key: Array | None = None,
                        u_planes: Array | None = None,
-                       interpret: bool | None = None) -> Array:
+                       interpret: bool | None = None,
+                       n_passes: int = 1) -> Array:
     """Assign08/09 direct-lighting render through the fused kernel
     (render/direct.py semantics: ambient + clamped cosine, mean over spp,
-    1/n_lights divisor)."""
+    1/n_lights divisor).
+
+    ``n_passes > 1``: progressive accumulation of independent estimates
+    (fresh light-disk / lens samples each pass — soft shadows and DoF
+    converge) with zero host dispatches between passes; the in-kernel PRNG
+    is decorrelated per pass through ``ipar[0]``."""
     import jax.numpy as jnp
 
     from ..core import rng
@@ -139,19 +145,34 @@ def render_direct_mega(scene: Scene, cfg: RenderConfig,
         interpret = jax.default_backend() == "cpu"
     if key is None:
         key = rng.base_key(cfg.seed)
-    if interpret and u_planes is None:
-        u_planes = u_planes_for_direct(key, cfg, scene.lights.count)
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
-    ipar = jnp.zeros((2,), jnp.int32)
-    acc = MK.pathtrace_pass_pallas(
-        par, ipar, sph, tri, mat, lig,
-        jnp.zeros((cfg.total_rays, 3), jnp.float32), u_planes,
-        spp=cfg.spp, width=cfg.width, bounces=0,
-        two_sided=cfg.two_sided_triangles,
-        normalize_emitter=cfg.normalize_emitter,
-        seed=cfg.seed, interpret=interpret, mode="direct")
+
+    def one_pass(pass_idx, acc, up):
+        ipar = jnp.stack([jnp.asarray(pass_idx, jnp.int32), jnp.int32(0)])
+        return MK.pathtrace_pass_pallas(
+            par, ipar, sph, tri, mat, lig, acc, up,
+            spp=cfg.spp, width=cfg.width, bounces=0,
+            two_sided=cfg.two_sided_triangles,
+            normalize_emitter=cfg.normalize_emitter,
+            seed=cfg.seed, interpret=interpret, mode="direct")
+
+    acc0 = jnp.zeros((cfg.total_rays, 3), jnp.float32)
+    if n_passes == 1:
+        if interpret and u_planes is None:
+            u_planes = u_planes_for_direct(key, cfg, scene.lights.count)
+        acc = one_pass(0, acc0, u_planes)
+    else:
+        def body(p, acc):
+            up = u_planes
+            if interpret and u_planes is None:
+                up = u_planes_for_direct(rng.pass_key(key, p), cfg,
+                                         scene.lights.count)
+            return one_pass(p, acc, up)
+
+        acc = jax.lax.fori_loop(0, n_passes, body, acc0)
     n_lights = max(scene.lights.count, 1)
-    img = acc.reshape(cfg.height, cfg.width, cfg.spp, 3).mean(2) / n_lights
+    img = acc.reshape(cfg.height, cfg.width, cfg.spp, 3).mean(2) \
+        / (n_lights * n_passes)
     return jnp.clip(img, 0.0, 1.0)
 
 

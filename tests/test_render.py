@@ -40,6 +40,34 @@ def test_direct_renderer_shadows():
     assert floor.min() < 0.75 * floor.max()
 
 
+def test_direct_progressive_passes():
+    """n_passes accumulation: same estimator (means agree within MC noise),
+    megakernel path identical to the XLA path with the same pass keys."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    scene = cornell_box(cols=48, rows=36)
+    cfg = RenderConfig(width=48, height=36, spp=1, bounces=0)
+    i1 = np.array(render_direct(scene, cfg))
+    i8 = np.array(render_direct(scene, cfg, n_passes=8))
+    assert np.isfinite(i8).all()
+    assert abs(i1.mean() - i8.mean()) < 0.05 * max(i1.mean(), 1e-6)
+
+    cfgm = RenderConfig(width=48, height=36, spp=1, bounces=0,
+                        use_megakernel=True)
+    m8 = np.array(render_direct(scene, cfgm, n_passes=8))
+    np.testing.assert_allclose(m8, i8, rtol=2e-4, atol=2e-4)
+
+    # thin-lens spp>1 (stratified lens + fresh light samples per pass)
+    scene2 = dataclasses.replace(scene, lens_radius=jnp.float32(0.1))
+    cfg4 = RenderConfig(width=32, height=24, spp=4, bounces=0,
+                        use_megakernel=True)
+    t1 = np.array(render_direct(scene2, cfg4))
+    t8 = np.array(render_direct(scene2, cfg4, n_passes=8))
+    assert abs(t1.mean() - t8.mean()) < 0.05 * max(t1.mean(), 1e-6)
+
+
 def test_pathtracer_progressive_mean_stable():
     scene = cornell_box(cols=32, rows=24)
     cfg = RenderConfig(width=32, height=24, spp=1, bounces=2, seed=5)
