@@ -16,8 +16,8 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
             struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """image: (H, W, 3) or (H, W, 4) uint8, or float in [0,1]."""
+def encode_png(image: np.ndarray) -> bytes:
+    """image: (H, W, 3) or (H, W, 4) uint8, or float in [0,1] -> PNG bytes."""
     img = np.asarray(image)
     if img.dtype != np.uint8:
         img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
@@ -30,8 +30,13 @@ def write_png(path: str, image: np.ndarray) -> None:
     out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
     out += _chunk(b"IDAT", zlib.compress(raw, 6))
     out += _chunk(b"IEND", b"")
+    return out
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """image: (H, W, 3) or (H, W, 4) uint8, or float in [0,1]."""
     with open(path, "wb") as f:
-        f.write(out)
+        f.write(encode_png(image))
 
 
 def tonemap_u8(acc: np.ndarray, divisor: float, exposure: float = 1.8

@@ -1,0 +1,300 @@
+"""Live progressive web viewer — the browser half of the presentation layer.
+
+The reference is a *web-based* ray tracer: an HTML page with a <canvas>, a
+scene/device select, rays-per-pixel / focal-length / lens-diameter inputs and
+Start/Stop buttons driving a progressive render loop
+(ref Assign10-Path_Tracing/index.html:25-48, code.js:1861-1894, canvas blit
+via putImageData code.js:1530-1537). `cli.py` maps those controls to flags;
+this module supplies the live-browser experience itself: a zero-dependency
+HTTP server (stdlib http.server) that runs the progressive renderer in a
+background thread and streams each pass to a canvas.
+
+    python -m raytracing_tpu.viewer --port 8000 --width 320 --height 240
+    # open http://localhost:8000  ->  scene/spp/focal/lens controls,
+    # Start/Stop, live pass counter and segs/s — the Assign10 UI, TPU-backed.
+
+Rendering goes through the same engine as the CLI (render.pathtracer /
+render.direct with the megakernel routing), so the viewer is presentation
+only — no second render path to keep correct.
+"""
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>raytracing_tpu viewer</title>
+<style>
+ body { font-family: system-ui, sans-serif; background:#111; color:#ddd;
+        display:flex; flex-direction:column; align-items:center; gap:12px;
+        padding:24px; }
+ .controls { display:flex; gap:8px; flex-wrap:wrap; align-items:center; }
+ input, select, button { background:#222; color:#ddd; border:1px solid #444;
+        padding:4px 8px; border-radius:4px; }
+ button { cursor:pointer; }
+ canvas { image-rendering:pixelated; border:1px solid #333; }
+ #status { font-variant-numeric: tabular-nums; color:#8c8; }
+</style></head><body>
+<h3>raytracing_tpu — progressive path tracer</h3>
+<div class="controls">
+ <label>scene <select id="scene"></select></label>
+ <label>renderer <select id="renderer">
+   <option value="path">path (Assign10)</option>
+   <option value="direct">direct (Assign08/09)</option>
+ </select></label>
+ <label>&radic;spp <input id="sqspp" type="number" value="1" min="1" max="8"
+        style="width:3em"></label>
+ <label>focal <input id="focal" type="number" step="0.1" style="width:5em"
+        placeholder="scene"></label>
+ <label>lens &empty; <input id="lens" type="number" step="0.01"
+        style="width:5em" placeholder="scene"></label>
+ <button id="start">Start</button>
+ <button id="stop">Stop</button>
+</div>
+<canvas id="cv"></canvas>
+<div id="status">idle</div>
+<script>
+const cv = document.getElementById('cv'), ctx2d = cv.getContext('2d');
+const img = new Image();
+img.onload = () => { cv.width = img.width; cv.height = img.height;
+                     ctx2d.drawImage(img, 0, 0); };
+async function tick() {
+  const st = await (await fetch('/status')).json();
+  document.getElementById('status').textContent =
+    `device: ${st.device} | pass ${st.passes}` +
+    (st.running ? ` | ${st.msegs_per_s.toFixed(1)} M segs/s` : ' | stopped');
+  if (st.frame > lastFrame) { lastFrame = st.frame;
+                              img.src = '/frame.png?f=' + st.frame; }
+}
+let lastFrame = -1;
+setInterval(tick, 500);
+fetch('/scenes').then(r => r.json()).then(names => {
+  const sel = document.getElementById('scene');
+  for (const n of names) {
+    const o = document.createElement('option'); o.value = o.text = n;
+    sel.add(o);
+  }
+});
+document.getElementById('start').onclick = () => {
+  const q = new URLSearchParams({
+    scene: document.getElementById('scene').value,
+    renderer: document.getElementById('renderer').value,
+    sqspp: document.getElementById('sqspp').value,
+    focal: document.getElementById('focal').value,
+    lens: document.getElementById('lens').value });
+  fetch('/start?' + q);
+};
+document.getElementById('stop').onclick = () => fetch('/stop');
+</script></body></html>
+"""
+
+
+class RenderSession:
+    """Progressive render loop + latest-frame store (thread-safe).
+
+    The loop body is the reference's continuosRender (code.js:1861-1870):
+    render one chunk of passes, publish the tonemapped frame, repeat until
+    stopped. State is the (acc, rng counter, passes) triple, so Stop/Start
+    with unchanged settings resumes accumulation (SURVEY §5 checkpoint
+    analog); changing settings resets it (initAcu)."""
+
+    def __init__(self, width: int = 320, height: int = 240, bounces: int = 5,
+                 chunk_passes: int = 4, scenes: dict | None = None):
+        self.width, self.height, self.bounces = width, height, bounces
+        self.chunk_passes = chunk_passes
+        self.scene_names = list(scenes) if scenes else ["cornell", "spheres"]
+        # entries with a path value are XML files; None = builtin name
+        self._extra_scenes = {k: v for k, v in (scenes or {}).items() if v}
+        self._lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+        self._running = False
+        self._png = b""
+        self._frame = 0
+        self._passes = 0
+        self._msegs = 0.0
+        self._settings = None
+
+    # -- rendering ---------------------------------------------------------
+
+    def _load(self, name: str):
+        if name in self._extra_scenes:
+            from .io.scene_xml import load_scene
+            return load_scene(self._extra_scenes[name],
+                              self.width, self.height)
+        from .cli import load_named_scene
+        return load_named_scene(name, self.width, self.height)
+
+    def _publish(self, img) -> None:
+        import numpy as np
+
+        from .io.png import encode_png
+        png = encode_png(np.asarray(img))
+        with self._lock:
+            self._png = png
+            self._frame += 1
+
+    def step(self, scene="cornell", renderer="path", spp=1,
+             focal=None, lens=None, n_passes=1) -> None:
+        """One synchronous chunk (used by the loop and by tests)."""
+        import jax.numpy as jnp
+
+        from . import RenderConfig, replace
+        from .render import pathtracer
+
+        sc = self._load(scene)
+        if focal:
+            sc = replace(sc, focal_length=jnp.float32(focal))
+        if lens:
+            sc = replace(sc, lens_radius=jnp.float32(lens / 2))
+        cfg = RenderConfig(width=self.width, height=self.height, spp=spp,
+                           bounces=self.bounces)
+        key = (scene, renderer, spp, focal, lens)
+        if self._settings != key:       # settings change -> initAcu
+            self._settings = key
+            self._state = pathtracer.init_state(cfg)
+            self._passes = 0
+        if renderer == "direct":
+            from .render.direct import render_direct
+            img = render_direct(sc, cfg, n_passes=n_passes)
+            self._passes += n_passes
+            self._publish(img)
+            return
+        self._state = pathtracer.render_passes(sc, self._state, cfg, n_passes)
+        self._passes = int(self._state["passes"])
+        self._publish(pathtracer.image(self._state, cfg))
+
+    def _loop(self, **kw) -> None:
+        import jax
+
+        n_lights = 1
+        try:
+            n_lights = int(self._load(kw["scene"]).lights.count)
+        except Exception:
+            pass
+        segs = self.width * self.height * max(kw["spp"], 1) * (
+            1 + n_lights + self.bounces * (1 + n_lights))
+        self._device = f"{jax.devices()[0].platform}"
+        while self._running:
+            t0 = time.time()
+            self.step(n_passes=self.chunk_passes, **kw)
+            dt = max(time.time() - t0, 1e-9)
+            self._msegs = segs * self.chunk_passes / dt / 1e6
+
+    # -- controls (ref startRender/stopRender code.js:1872-1894) -----------
+
+    def start(self, **kw) -> None:
+        self.stop()
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, kwargs=kw,
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def status(self) -> dict:
+        import jax
+        with self._lock:
+            return {"running": self._running, "passes": self._passes,
+                    "frame": self._frame, "msegs_per_s": self._msegs,
+                    "device": jax.devices()[0].platform}
+
+    def frame_png(self) -> bytes:
+        with self._lock:
+            return self._png
+
+
+def make_server(session: RenderSession, port: int = 8000,
+                host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):       # quiet
+            pass
+
+        def _send(self, body: bytes, ctype: str, code: int = 200) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            if url.path == "/":
+                self._send(INDEX_HTML.encode(), "text/html")
+            elif url.path == "/scenes":
+                self._send(json.dumps(session.scene_names).encode(),
+                           "application/json")
+            elif url.path == "/status":
+                self._send(json.dumps(session.status()).encode(),
+                           "application/json")
+            elif url.path == "/frame.png":
+                png = session.frame_png()
+                if png:
+                    self._send(png, "image/png")
+                else:
+                    self._send(b"no frame yet", "text/plain", 404)
+            elif url.path == "/start":
+                sq = max(int(q.get("sqspp") or 1), 1)
+                session.start(
+                    scene=q.get("scene", "cornell"),
+                    renderer=q.get("renderer", "path"),
+                    spp=sq * sq,        # forced square, ref code.js:516-529
+                    focal=float(q["focal"]) if q.get("focal") else None,
+                    lens=float(q["lens"]) if q.get("lens") else None)
+                self._send(b"started", "text/plain")
+            elif url.path == "/stop":
+                session.stop()
+                self._send(b"stopped", "text/plain")
+            else:
+                self._send(b"not found", "text/plain", 404)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="raytracing_tpu.viewer",
+                                description="live progressive web viewer")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--bounces", type=int, default=5)
+    p.add_argument("--chunk-passes", type=int, default=4)
+    p.add_argument("--scene-xml", action="append", default=[],
+                   help="extra XML scene file(s) to add to the scene select")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import os
+    extra = {os.path.splitext(os.path.basename(p))[0]: p
+             for p in args.scene_xml}
+    scenes = {"cornell": None, "spheres": None, **extra} if extra else None
+    session = RenderSession(width=args.width, height=args.height,
+                            bounces=args.bounces,
+                            chunk_passes=args.chunk_passes, scenes=scenes)
+    srv = make_server(session, args.port, args.host)
+    print(f"viewer at http://{args.host}:{args.port}  (Ctrl-C to quit)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        session.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
