@@ -136,21 +136,26 @@ def test_direct_mode_matches_xla(small_scene, spp, lens):
                                rtol=2e-4, atol=2e-4)
 
 
-def test_internal_prng_statistics(small_scene):
-    """On-core PRNG mode: per-pixel estimates differ from threefry but the
-    image means must agree (same unbiased estimator)."""
-    try:
-        cfg = RenderConfig(width=32, height=24, spp=1, bounces=1)
-        state = pathtracer.init_state(cfg)
-        passes = 16
-        for _ in range(passes):
-            state = render_pass_mega(small_scene, state, cfg,
-                                     interpret=True)
-    except Exception as e:  # pragma: no cover - interpret-mode PRNG support
-        pytest.skip(f"interpret-mode PRNG unsupported here: {e}")
-    ref = _run_xla(small_scene, cfg, n_passes=passes)
+def test_multi_pass_statistics_jitted(small_scene):
+    """Megakernel routed through the jitted multi-pass program
+    (render_passes with cfg.use_megakernel, the production call path) vs
+    the XLA pipeline over the same number of passes. On CPU the kernel
+    substitutes pass-wide threefry planes for the on-core PRNG (no
+    interpret-mode lowering for pltpu.prng_seed), so this checks the
+    jit+fori_loop routing and the MC estimate, not the TPU PRNG itself."""
+    cfg_m = RenderConfig(width=32, height=24, spp=1, bounces=1,
+                         use_megakernel=True)
+    cfg_x = RenderConfig(width=32, height=24, spp=1, bounces=1)
+    passes = 8
+    state = pathtracer.render_passes(small_scene,
+                                     pathtracer.init_state(cfg_m),
+                                     cfg_m, passes)
+    ref = pathtracer.render_passes(small_scene,
+                                   pathtracer.init_state(cfg_x),
+                                   cfg_x, passes)
     a = np.asarray(state["acc"]) / passes
     b = np.asarray(ref["acc"]) / passes
+    assert int(state["passes"]) == passes
     assert np.isfinite(a).all()
     # loose statistical agreement of the MC estimate
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.15)
