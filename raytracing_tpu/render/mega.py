@@ -69,11 +69,13 @@ def scene_tables(scene: Scene, cfg: RenderConfig
 
 def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
     """The megakernel covers the default brute-force forward path for
-    scenes whose object loops fit the static-unroll budget (object
-    constants become CSE'd static loads). Beyond that the per-object
-    dynamic VMEM scalar loads lose to the XLA pipeline's dense (O, R)
-    formulation (measured: 12 objects -> mega 8.8x faster; 1022 objects ->
-    mega 2.6x slower), so big scenes auto-route to the stage pipeline.
+    scenes whose object tables fit the SMEM budget. Small scenes (<=64
+    objects/type) unroll with static table reads; medium scenes run the
+    object loop as fori_loop over SMEM tables (native scalar reads) with
+    deferred normal interpolation — measured on v5e 512x512 b5: 197 tris
+    15.8 ms/pass vs 18.7 XLA pipeline, 1022 tris 52 ms vs 62. Scenes whose
+    tables exceed SMEM (~1150 tris) auto-route to the XLA stage pipeline,
+    whose dense (O, R) MXU formulation scales better anyway.
     With ``scene=None`` only the config is checked (build-time call sites)."""
     ok = (not cfg.use_grid and not cfg.russian_roulette
           and not cfg.replicate_stale_poi
@@ -81,8 +83,8 @@ def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
     if scene is None or not ok:
         return ok
     from ..render.stages import _all_triangles
-    return (scene.spheres.count <= MK.UNROLL_OBJECTS
-            and _all_triangles(scene).count <= MK.UNROLL_OBJECTS)
+    return (scene.spheres.count * 8 <= MK.SMEM_TABLE_MAX
+            and _all_triangles(scene).count * 32 <= MK.SMEM_TABLE_MAX)
 
 
 def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
