@@ -91,7 +91,7 @@ def sharded_render_passes(mesh: Mesh, cfg: RenderConfig, n_passes: int):
     if not (cfg.use_megakernel and mega.supported(None, cfg)):
         return fn_gspmd
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_shards = mesh.shape["rays"]
     assert cfg.total_rays % n_shards == 0
@@ -107,7 +107,7 @@ def sharded_render_passes(mesh: Mesh, cfg: RenderConfig, n_passes: int):
     fn_mega = jax.jit(shard_map(
         local_passes, mesh=mesh,
         in_specs=(P(), spec_state), out_specs=spec_state,
-        check_rep=False))
+        check_vma=False))
 
     def fn(scene, state):
         # scene-size check happens at call time: big scenes (beyond the

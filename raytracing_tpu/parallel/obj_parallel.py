@@ -18,7 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.types import Rays, Spheres
 from ..ops.closest_hit import Champion, closest_hit_spheres
@@ -45,7 +45,7 @@ def closest_hit_spheres_objsharded(rays: Rays, spheres: Spheres, mesh: Mesh,
                        Spheres(center=obj_spec, radius=obj_spec,
                                mat_id=obj_spec, mask=obj_spec)),
              out_specs=(ray_spec, ray_spec),
-             check_rep=False)
+             check_vma=False)
     def local_search(rays_l, spheres_l):
         ch = closest_hit_spheres(rays_l, spheres_l)
         offset = jax.lax.axis_index(axis).astype(jnp.int32) * shard_size

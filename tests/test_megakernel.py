@@ -78,11 +78,15 @@ def test_config_gating(small_scene):
     assert not supported(small_scene,
                          RenderConfig(width=8, height=8,
                                       russian_roulette=True))
-    # scenes beyond the static-unroll budget auto-route to the XLA pipeline
+    # scenes whose object tables exceed the SMEM budget auto-route to the
+    # XLA pipeline; medium scenes (>64 objects, fori_loop over SMEM tables)
+    # stay supported
     from raytracing_tpu.models.scenes import sphere_field
-    big = sphere_field(65, cols=8, rows=8)
-    assert not supported(big, ok)
+    from raytracing_tpu.ops.pallas import megakernel as MK
     assert supported(sphere_field(64, cols=8, rows=8), ok)
+    assert supported(sphere_field(65, cols=8, rows=8), ok)
+    too_many = MK.SMEM_TABLE_MAX // 8 + 1
+    assert not supported(sphere_field(too_many, cols=8, rows=8), ok)
 
 
 def test_sharded_megakernel_matches_single_device(small_scene):
