@@ -159,7 +159,9 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
                         n_rays: int, spp: int, width: int, bounces: int,
                         n_sph: int, n_tri: int, n_mat: int, n_lig: int,
                         two_sided: bool, normalize_emitter: bool,
-                        use_u: bool, seed: int, mode: str = "path"):
+                        use_u: bool, seed: int, mode: str = "path",
+                        russian_roulette: bool = False,
+                        rr_start_depth: int = 0):
     if use_u:
         u_ref = rest[0]
         acc_in = rest[1:4]
@@ -587,6 +589,20 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
             li, accr, accg, accb, tpr, tpg, tpb, matf)
 
     for _depth in range(bounces):
+        if russian_roulette:
+            # stages.apply_russian_roulette: survive with p = max throughput
+            # component (clipped), compensate 1/p. Slot consumed every depth
+            # (layout stability); applied only past rr_start_depth.
+            u0, _ = draws.pair()
+            if _depth >= rr_start_depth:
+                p_srv = jnp.clip(jnp.maximum(tpr, jnp.maximum(tpg, tpb)),
+                                 0.05, 1.0)
+                survive = u0 < p_srv
+                inv_p = 1.0 / p_srv
+                tpr = jnp.where(survive, tpr * inv_p, 0.0)
+                tpg = jnp.where(survive, tpg * inv_p, 0.0)
+                tpb = jnp.where(survive, tpb * inv_p, 0.0)
+                matf = jnp.where(survive, matf, -1.0)
         # bouncePaths (ref code.cl:581-598; render/stages.py bounce_paths)
         valid = matf >= 0.0
         snx = jnp.where(valid, hnx, 0.0)
@@ -633,7 +649,9 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                           spp: int, width: int, bounces: int,
                           two_sided: bool, normalize_emitter: bool,
                           seed: int, interpret: bool = False,
-                          mode: str = "path") -> Array:
+                          mode: str = "path",
+                          russian_roulette: bool = False,
+                          rr_start_depth: int = 0) -> Array:
     """One progressive pass over ``acc`` (R, 3) -> new (R, 3).
 
     par: (NPAR,) f32 scalars; ipar: (1,) i32 [pass_idx];
@@ -662,7 +680,9 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                   n_sph=sph.shape[0], n_tri=tri.shape[0],
                   n_mat=mat.shape[0], n_lig=lig.shape[0],
                   two_sided=two_sided, normalize_emitter=normalize_emitter,
-                  use_u=u_planes is not None, seed=seed, mode=mode)
+                  use_u=u_planes is not None, seed=seed, mode=mode,
+                  russian_roulette=russian_roulette,
+                  rr_start_depth=rr_start_depth)
 
     ray_block = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)

@@ -76,9 +76,9 @@ def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
     15.8 ms/pass vs 18.7 XLA pipeline, 1022 tris 52 ms vs 62. Scenes whose
     tables exceed SMEM (~1150 tris) auto-route to the XLA stage pipeline,
     whose dense (O, R) MXU formulation scales better anyway.
+    Russian roulette is supported in-kernel (BASELINE.json config 5).
     With ``scene=None`` only the config is checked (build-time call sites)."""
-    ok = (not cfg.use_grid and not cfg.russian_roulette
-          and not cfg.replicate_stale_poi
+    ok = (not cfg.use_grid and not cfg.replicate_stale_poi
           and cfg.total_rays < (1 << 24))
     if scene is None or not ok:
         return ok
@@ -99,7 +99,7 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
     ``ray_offset`` the global index of its first ray (axis_index * local_R):
     pixel decode and PRNG decorrelation use the global id."""
     assert supported(scene, cfg), \
-        "megakernel: unsupported config (grid/RR/stale-POI/ray-count)"
+        "megakernel: unsupported config (grid/stale-POI/ray-count)"
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if interpret and u_planes is None:
@@ -122,7 +122,9 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
         spp=cfg.spp, width=cfg.width, bounces=cfg.bounces,
         two_sided=cfg.two_sided_triangles,
         normalize_emitter=cfg.normalize_emitter,
-        seed=cfg.seed, interpret=interpret)
+        seed=cfg.seed, interpret=interpret,
+        russian_roulette=cfg.russian_roulette,
+        rr_start_depth=cfg.rr_start_depth)
     return {"acc": acc, "key": state["key"], "passes": state["passes"] + 1}
 
 
@@ -199,7 +201,8 @@ def u_planes_for_pass(key: Array, passes: Array, cfg: RenderConfig,
     """The pass-wide uniform tensor in the kernel's plane layout —
     EXACTLY the draws _render_pass makes (verification mode)."""
     from ..core import rng
+    from .pathtracer import pass_draw_count
     kp = rng.pass_key(key, passes)
-    n_draws = 1 + n_lights * (1 + cfg.bounces) + cfg.bounces
+    n_draws = pass_draw_count(cfg, n_lights)
     u_all = jax.random.uniform(kp, (cfg.total_rays, n_draws, 2))
     return u_all.transpose(1, 2, 0).reshape(n_draws * 2, cfg.total_rays)

@@ -30,6 +30,14 @@ from .camera import generate_primary_rays
 Array = jax.Array
 
 
+def pass_draw_count(cfg: RenderConfig, n_lights: int) -> int:
+    """Slots in the pass-wide (R, n_draws, 2) uniform tensor: lens, NEE per
+    light, then per depth: [rr when enabled], bounce, NEE per light. The
+    megakernel's plane layout mirrors this exactly."""
+    per_depth = (1 if cfg.russian_roulette else 0) + 1 + n_lights
+    return 1 + n_lights + cfg.bounces * per_depth
+
+
 def init_state(cfg: RenderConfig) -> dict:
     """Zeroed progressive state (ref initAcu code.cl:448-456 runs once)."""
     n = cfg.total_rays
@@ -58,9 +66,12 @@ def _render_pass(scene: Scene, state: dict, cfg: RenderConfig) -> dict:
     R = cfg.total_rays
 
     # ONE batched threefry draw for the whole pass (lens + per-depth light
-    # sampling + bounces): many small uniform() calls are dominated by fixed
-    # per-call cost on TPU; a single (R, n_draws, 2) tensor is ~10x cheaper.
-    n_draws = 1 + n_lights * (1 + cfg.bounces) + cfg.bounces
+    # sampling + bounces + optional RR): many small uniform() calls are
+    # dominated by fixed per-call cost on TPU; a single (R, n_draws, 2)
+    # tensor is ~10x cheaper. Slot order per depth: [rr?], bounce, nee*L —
+    # the megakernel consumes the identical layout (render/mega.py
+    # u_planes_for_pass).
+    n_draws = pass_draw_count(cfg, n_lights)
     u_all = jax.random.uniform(kp, (R, n_draws, 2))
     draw = iter(range(n_draws))
 
@@ -82,8 +93,9 @@ def _render_pass(scene: Scene, state: dict, cfg: RenderConfig) -> dict:
                                      u=u_all[:, next(draw)])
 
     for depth in range(1, cfg.bounces + 1):
-        hits = stages.apply_russian_roulette(
-            hits, rng.draw_key(kp, rng.INIT, depth), depth - 1, cfg)
+        if cfg.russian_roulette:
+            hits = stages.apply_russian_roulette(
+                hits, kp, depth - 1, cfg, u=u_all[:, next(draw), 0])
         rays = stages.bounce_paths(hits, kp, cfg, u=u_all[:, next(draw)])
         rays, hits = stages.trace_all(rays, hits, scene, cfg)
         for li in range(n_lights):

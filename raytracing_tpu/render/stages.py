@@ -314,13 +314,17 @@ def bounce_paths(hits: Hits, key: Array, cfg: RenderConfig,
 
 
 def apply_russian_roulette(hits: Hits, key: Array, depth: int,
-                           cfg: RenderConfig) -> Hits:
+                           cfg: RenderConfig,
+                           u: Array | None = None) -> Hits:
     """Optional RR termination (extension; BASELINE.json config 5): survive
-    with p = max component of throughput, compensate by 1/p."""
+    with p = max component of throughput, compensate by 1/p. ``u`` (R,) is
+    normally a column of the pass-wide draw tensor (slot layout in
+    pathtracer.pass_draw_count); key is the fallback."""
     if not cfg.russian_roulette or depth < cfg.rr_start_depth:
         return hits
     p_survive = jnp.clip(hits.throughput.max(-1), 0.05, 1.0)
-    u = jax.random.uniform(key, (hits.p.shape[0],))
+    if u is None:
+        u = jax.random.uniform(key, (hits.p.shape[0],))
     survive = u < p_survive
     tp = jnp.where(survive[:, None],
                    hits.throughput / p_survive[:, None], 0.0)

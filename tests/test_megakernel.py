@@ -75,9 +75,9 @@ def test_config_gating(small_scene):
     assert supported(small_scene, ok)
     assert not supported(small_scene, RenderConfig(width=8, height=8,
                                                    use_grid=True))
-    assert not supported(small_scene,
-                         RenderConfig(width=8, height=8,
-                                      russian_roulette=True))
+    # RR runs in-kernel since round 2 (BASELINE.json config 5 as specified)
+    assert supported(small_scene,
+                     RenderConfig(width=8, height=8, russian_roulette=True))
     # scenes whose object tables exceed the SMEM budget auto-route to the
     # XLA pipeline; medium scenes (>64 objects, fori_loop over SMEM tables)
     # stay supported
@@ -87,6 +87,40 @@ def test_config_gating(small_scene):
     assert supported(sphere_field(65, cols=8, rows=8), ok)
     too_many = MK.SMEM_TABLE_MAX // 8 + 1
     assert not supported(sphere_field(too_many, cols=8, rows=8), ok)
+
+
+def test_rr_matches_xla_pipeline_same_draws(small_scene):
+    """Russian roulette in-kernel vs the XLA stage pipeline with identical
+    draws (BASELINE.json config 5 as specified: RR termination)."""
+    cfg = RenderConfig(width=32, height=24, spp=1, bounces=3,
+                       russian_roulette=True, rr_start_depth=1)
+    ref = _run_xla(small_scene, cfg)
+    got = _run_mega_verify(small_scene, cfg)
+    np.testing.assert_allclose(np.asarray(got["acc"]),
+                               np.asarray(ref["acc"]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_rr_unbiased(small_scene):
+    """RR is an unbiased estimator: the mean radiance with RR termination
+    must match the fixed-depth estimate within MC noise (survivors are
+    compensated by 1/p)."""
+    passes = 48
+    cfg_rr = RenderConfig(width=32, height=24, spp=1, bounces=3,
+                          russian_roulette=True, rr_start_depth=0, seed=7)
+    cfg_no = RenderConfig(width=32, height=24, spp=1, bounces=3, seed=7)
+    st_rr = pathtracer.render_passes(small_scene,
+                                     pathtracer.init_state(cfg_rr),
+                                     cfg_rr, passes)
+    st_no = pathtracer.render_passes(small_scene,
+                                     pathtracer.init_state(cfg_no),
+                                     cfg_no, passes)
+    a = np.asarray(st_rr["acc"]) / passes
+    b = np.asarray(st_no["acc"]) / passes
+    assert np.isfinite(a).all()
+    # global mean energy agreement (the unbiasedness statement); per-pixel
+    # variance is higher with RR by construction
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.03)
 
 
 def test_sharded_megakernel_matches_single_device(small_scene):
