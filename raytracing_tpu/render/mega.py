@@ -87,6 +87,21 @@ def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
             and _all_triangles(scene).count * 32 <= MK.SMEM_TABLE_MAX)
 
 
+def supported_diff(scene: Scene | None, cfg: RenderConfig) -> bool:
+    """Whether the DIFFERENTIABLE megakernel (custom VJP, fused recompute
+    backward — ops/pallas/megakernel_grad.py) covers this render: the
+    backward kernel AD-unrolls the object loops as values, so it is gated
+    to the static-unroll budget (<= UNROLL_OBJECTS per type). Larger scenes
+    train through the XLA stage pipeline."""
+    if not supported(scene, cfg):
+        return False
+    if scene is None:
+        return True
+    from ..render.stages import _all_triangles
+    return (scene.spheres.count <= MK.UNROLL_OBJECTS
+            and _all_triangles(scene).count <= MK.UNROLL_OBJECTS)
+
+
 def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
                      u_planes: Array | None = None,
                      interpret: bool | None = None,
@@ -117,14 +132,23 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
     ipar = jnp.stack([jnp.asarray(state["passes"], jnp.int32),
                       jnp.asarray(ray_offset, jnp.int32)])
-    acc = MK.pathtrace_pass_pallas(
-        par, ipar, sph, tri, mat, lig, state["acc"], u_planes,
-        spp=cfg.spp, width=cfg.width, bounces=cfg.bounces,
-        two_sided=cfg.two_sided_triangles,
-        normalize_emitter=cfg.normalize_emitter,
-        seed=cfg.seed, interpret=interpret,
-        russian_roulette=cfg.russian_roulette,
-        rr_start_depth=cfg.rr_start_depth)
+    kw = dict(spp=cfg.spp, width=cfg.width, bounces=cfg.bounces,
+              two_sided=cfg.two_sided_triangles,
+              normalize_emitter=cfg.normalize_emitter,
+              seed=cfg.seed, interpret=interpret,
+              russian_roulette=cfg.russian_roulette,
+              rr_start_depth=cfg.rr_start_depth)
+    if supported_diff(scene, cfg):
+        # differentiable path (custom VJP; same primal kernel, fused
+        # recompute backward — ops/pallas/megakernel_grad.py). jax.grad
+        # through this render works; gradients flow to camera, spheres,
+        # triangles, materials and lights via the scene_tables packing.
+        from ..ops.pallas.megakernel_grad import pathtrace_pass_diff
+        acc = pathtrace_pass_diff(par, ipar, sph, tri, mat, lig,
+                                  state["acc"], u_planes, **kw)
+    else:
+        acc = MK.pathtrace_pass_pallas(par, ipar, sph, tri, mat, lig,
+                                       state["acc"], u_planes, **kw)
     return {"acc": acc, "key": state["key"], "passes": state["passes"] + 1}
 
 

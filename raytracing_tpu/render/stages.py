@@ -322,7 +322,14 @@ def apply_russian_roulette(hits: Hits, key: Array, depth: int,
     pathtracer.pass_draw_count); key is the fallback."""
     if not cfg.russian_roulette or depth < cfg.rr_start_depth:
         return hits
-    p_survive = jnp.clip(hits.throughput.max(-1), 0.05, 1.0)
+    # maximum-chain (not reduce_max): identical primal, but on exactly-tied
+    # channels (gray albedo) the VJP tie split matches the megakernel's
+    # 2D-vector-register formulation, keeping mega-vs-XLA grads bitwise
+    # comparable
+    tp = hits.throughput
+    p_survive = jnp.clip(jnp.maximum(tp[..., 0],
+                                     jnp.maximum(tp[..., 1], tp[..., 2])),
+                         0.05, 1.0)
     if u is None:
         u = jax.random.uniform(key, (hits.p.shape[0],))
     survive = u < p_survive
