@@ -8,7 +8,7 @@ __all__ = ["Grid", "build_sphere_grid", "build_triangle_grid",
            "prepare_grids"]
 
 
-def prepare_grids(scene: Scene, n_slabs: int = 1) -> Scene:
+def prepare_grids(scene: Scene, n_slabs: int | tuple = 1) -> Scene:
     """Build all acceleration grids host-side (the analog of preRender's
     splitSphereData/splitTriangleData calls, ref code.js:1784-1804;
     per-mesh grids use each mesh's own nslabs, code.js:899-1045)."""

@@ -36,33 +36,46 @@ class Grid:
     """Device-side grid tables. ``items`` indexes into the ORIGINAL object
     arrays (the reference instead re-orders object buffers cell-by-cell;
     indexing keeps the object arrays differentiable and unduplicated)."""
-    cell_offsets: Array   # (n^3 + 1,) int32 CSR (parity with boxSize buffers)
+    cell_offsets: Array   # (ncells + 1,) int32 CSR (parity with boxSize buffers)
     item_indices: Array   # (total_refs,) int32 CSR payload
-    items: Array          # (n^3, K) int32 padded with -1
+    items: Array          # (ncells, K) int32 padded with -1
     pmin: Array           # (3,)
     pmax: Array           # (3,)
-    n: int = static_field(default=1)
+    n: tuple = static_field(default=(1, 1, 1))   # (nx, ny, nz) per axis
     max_per_cell: int = static_field(default=0)
 
 
+def _n3(n) -> tuple[int, int, int]:
+    """Normalize a resolution spec: int -> cubic, 3-seq -> per axis. The
+    reference's 1-D slab scheme (Assign06 code.js:459-513) is the (n, 1, 1)
+    degenerate case; Assign07+ is cubic."""
+    if isinstance(n, (tuple, list)):
+        nx, ny, nz = (int(v) for v in n)
+        return (nx, ny, nz)
+    return (int(n),) * 3
+
+
 def _bin_csr_python(lo: np.ndarray, hi: np.ndarray, pmin: np.ndarray,
-                    pmax: np.ndarray, n: int):
-    """numpy binning -> (offsets (n^3+1,), payload) CSR arrays."""
-    width = (pmax - pmin) / n
+                    pmax: np.ndarray, n):
+    """numpy binning -> (offsets (ncells+1,), payload) CSR arrays."""
+    nx, ny, nz = _n3(n)
+    nv = np.asarray([nx, ny, nz])
+    ncells = nx * ny * nz
+    width = (pmax - pmin) / nv
     width = np.where(width <= 0, 1e-30, width)
     min_box = np.clip(np.floor((lo - pmin[None, :]) / width[None, :]),
-                      0, n - 1).astype(np.int64)
+                      0, nv - 1).astype(np.int64)
     max_box = np.clip(np.floor((hi - pmin[None, :]) / width[None, :]),
-                      0, n - 1).astype(np.int64)
+                      0, nv - 1).astype(np.int64)
 
-    cells: list[list[int]] = [[] for _ in range(n ** 3)]
+    cells: list[list[int]] = [[] for _ in range(ncells)]
     for i in range(lo.shape[0]):
         for iz in range(min_box[i, 2], max_box[i, 2] + 1):
             for iy in range(min_box[i, 1], max_box[i, 1] + 1):
                 for ix in range(min_box[i, 0], max_box[i, 0] + 1):
-                    cells[iz * n * n + iy * n + ix].append(i)
+                    cells[iz * ny * nx + iy * nx + ix].append(i)
 
-    offsets = np.zeros(n ** 3 + 1, np.int32)
+    offsets = np.zeros(ncells + 1, np.int32)
     for c, lst in enumerate(cells):
         offsets[c + 1] = offsets[c] + len(lst)
     payload = (np.concatenate([np.asarray(lst, np.int32) for lst in cells])
@@ -70,13 +83,16 @@ def _bin_csr_python(lo: np.ndarray, hi: np.ndarray, pmin: np.ndarray,
     return offsets, payload
 
 
-def build_grid(lo: np.ndarray, hi: np.ndarray, pmin, pmax, n: int,
+def build_grid(lo: np.ndarray, hi: np.ndarray, pmin, pmax, n,
                use_native: bool = True) -> Grid:
-    """Build from object AABBs. lo/hi: (O, 3) float; pmin/pmax: grid bounds."""
+    """Build from object AABBs. lo/hi: (O, 3) float; pmin/pmax: grid bounds;
+    n: int (cubic) or (nx, ny, nz)."""
     pmin = np.asarray(pmin, np.float32).reshape(3)
     pmax = np.asarray(pmax, np.float32).reshape(3)
     lo = np.asarray(lo, np.float32).reshape(-1, 3)
     hi = np.asarray(hi, np.float32).reshape(-1, 3)
+    n = _n3(n)
+    ncells = n[0] * n[1] * n[2]
 
     csr = None
     if use_native:
@@ -91,8 +107,8 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, pmin, pmax, n: int,
 
     counts = np.diff(offsets)
     K = max(int(counts.max()) if counts.size else 0, 1)
-    items = np.full((n ** 3, K), -1, np.int32)
-    for c in range(n ** 3):
+    items = np.full((ncells, K), -1, np.int32)
+    for c in range(ncells):
         items[c, :counts[c]] = payload[offsets[c]:offsets[c + 1]]
 
     return Grid(cell_offsets=jnp.asarray(offsets),

@@ -39,12 +39,12 @@ def _init_dda(rays: Rays, grid: Grid):
     tmax_eff = jnp.minimum(tmax, rays.maxt)
     active = ok & rays.alive & (tmin <= tmax_eff)
 
-    n = grid.n
-    width = (grid.pmax - grid.pmin) / n            # (3,)
+    nv = jnp.asarray(grid.n, jnp.float32)          # (3,) per-axis resolution
+    width = (grid.pmax - grid.pmin) / nv           # (3,)
     width = jnp.where(width <= 0.0, 1e-30, width)
     entry = o + tmin[:, None] * d                  # (R,3)
     cell = jnp.clip(jnp.floor((entry - grid.pmin[None, :]) / width[None, :]),
-                    0, n - 1).astype(jnp.int32)    # (R,3)
+                    0, jnp.asarray(grid.n) - 1).astype(jnp.int32)  # (R,3)
     pos_dir = d >= 0.0
     step = jnp.where(pos_dir, 1, -1).astype(jnp.int32)
     safe_d = jnp.where(d == 0.0, 1e-30, d)
@@ -60,8 +60,9 @@ def _march(rays: Rays, grid: Grid, cell_test, R: int):
     -> (t (R,), idx (R,))`` returns the best hit among the cell's items in
     the given t-window (INF/-1 = none)."""
     cell, step, t_delta, t_next, t_cur, t_exit, active = _init_dda(rays, grid)
-    n = grid.n
-    max_steps = 3 * n
+    nx, ny, nz = grid.n
+    nv = jnp.asarray(grid.n, jnp.int32)
+    max_steps = nx + ny + nz
 
     def cond(carry):
         s, _, _, _, active, _, _ = carry
@@ -69,7 +70,7 @@ def _march(rays: Rays, grid: Grid, cell_test, R: int):
 
     def body(carry):
         s, cell, t_next, t_cur, active, best_t, best_i = carry
-        cell_id = cell[:, 2] * (n * n) + cell[:, 1] * n + cell[:, 0]
+        cell_id = cell[:, 2] * (ny * nx) + cell[:, 1] * nx + cell[:, 0]
         t, i = cell_test(cell_id, active)
         better = active & (t < best_t)
         best_t = jnp.where(better, t, best_t)
@@ -82,7 +83,8 @@ def _march(rays: Rays, grid: Grid, cell_test, R: int):
         onehot = jax.lax.broadcasted_iota(jnp.int32, (R, 3), 1) == axis[:, None]
         cell = cell + jnp.where(onehot, step, 0)
         t_next = t_next + jnp.where(onehot, t_delta, 0.0)
-        out = (cell < 0).any(-1) | (cell >= n).any(-1) | (t_step > t_exit)
+        out = (cell < 0).any(-1) | (cell >= nv[None, :]).any(-1) \
+            | (t_step > t_exit)
         # champion final once its t precedes the next cell's entry
         done = best_t <= t_step
         active = active & ~out & ~done

@@ -25,7 +25,9 @@ class RenderConfig:
     normalize_emitter: bool = True     # ref lightRender normalizes irradiance (code.cl:617)
     replicate_stale_poi: bool = False  # bug-compat: re-shade stale POI after escaped bounce
     use_grid: bool = False             # uniform-grid DDA vs brute-force matmul path
-    n_slabs: int = 1                   # scene grid resolution (ref code.js:399)
+    n_slabs: int | tuple = 1           # scene grid resolution (ref code.js:399);
+                                       # int = cubic, (nx, ny, nz) = per axis
+                                       # ((n, 1, 1) = Assign06 1-D slabs)
     ray_chunk: int = 1 << 17           # rays per compute tile in chunked ops
     obj_chunk: int = 256               # objects per chunk in brute-force scan
                                        # (fastest on v5e at 1k-object scenes:

@@ -139,9 +139,11 @@ def assign05(cols=512, rows=512):
 
 
 def assign06(cols=512, rows=512, n_slabs=8):
-    """1-D slab acceleration (historical Assign06): the uniform grid with
-    the march degenerate along y/z reproduces the x-slab scheme."""
-    scene, cfg = _mesh_scene(cols, rows, use_grid=True, n_slabs=n_slabs)
+    """1-D slab acceleration (historical Assign06, code.js:459-513): a TRUE
+    n x 1 x 1 grid — binning by x-extent only, the DDA marching along x with
+    the y/z axes degenerate (single slab)."""
+    scene, cfg = _mesh_scene(cols, rows, use_grid=True,
+                             n_slabs=(n_slabs, 1, 1))
     return render_direct, (scene, cfg), cfg
 
 

@@ -1,8 +1,8 @@
-// Native uniform-grid builder: bins object AABBs into n^3 cells, CSR layout.
+// Native uniform-grid builder: bins object AABBs into nx*ny*nz cells (CSR).
 //
 // Semantics mirror the reference's splitSphereData / splitTriangleData /
 // splitMeshData (Assign10-Path_Tracing/code.js:1554-1772, 899-1045):
-// floor((aabb - grid_min) / cell_width) clamped to [0, n-1], every
+// floor((aabb - grid_min) / cell_width) clamped per axis, every
 // overlapped cell gets a reference, cells laid out iz-major, and objects
 // appear within each cell in input order.
 //
@@ -20,7 +20,7 @@ struct BinBox {
 
 inline BinBox object_cells(const float* lo, const float* hi, long i,
                            const float* pmin, const float* inv_width,
-                           long n) {
+                           const int64_t* n) {
     BinBox b;
     for (int a = 0; a < 3; ++a) {
         long mn = static_cast<long>((lo[i * 3 + a] - pmin[a]) * inv_width[a]);
@@ -29,18 +29,18 @@ inline BinBox object_cells(const float* lo, const float* hi, long i,
         if (lo[i * 3 + a] < pmin[a]) mn = 0;
         if (mn < 0) mn = 0;
         if (mx < 0) mx = 0;
-        if (mn >= n) mn = n - 1;
-        if (mx >= n) mx = n - 1;
+        if (mn >= n[a]) mn = n[a] - 1;
+        if (mx >= n[a]) mx = n[a] - 1;
         b.lo[a] = mn;
         b.hi[a] = mx;
     }
     return b;
 }
 
-inline void inv_cell_width(const float* pmin, const float* pmax, long n,
-                           float* inv_width) {
+inline void inv_cell_width(const float* pmin, const float* pmax,
+                           const int64_t* n, float* inv_width) {
     for (int a = 0; a < 3; ++a) {
-        float w = (pmax[a] - pmin[a]) / static_cast<float>(n);
+        float w = (pmax[a] - pmin[a]) / static_cast<float>(n[a]);
         if (w <= 0.0f) w = 1e-30f;
         inv_width[a] = 1.0f / w;
     }
@@ -52,19 +52,19 @@ extern "C" {
 
 // Pass 1: counts[c] = number of object references in cell c. Returns total.
 int64_t grid_count(const float* lo, const float* hi, int64_t n_obj,
-                   const float* pmin, const float* pmax, int64_t n,
+                   const float* pmin, const float* pmax, const int64_t* n,
                    int32_t* counts) {
     float inv_width[3];
     inv_cell_width(pmin, pmax, n, inv_width);
-    const int64_t n2 = n * n;
+    const int64_t n2 = n[0] * n[1];
     int64_t total = 0;
-    for (int64_t c = 0; c < n * n2; ++c) counts[c] = 0;
+    for (int64_t c = 0; c < n[2] * n2; ++c) counts[c] = 0;
     for (int64_t i = 0; i < n_obj; ++i) {
         BinBox b = object_cells(lo, hi, i, pmin, inv_width, n);
         for (long iz = b.lo[2]; iz <= b.hi[2]; ++iz)
             for (long iy = b.lo[1]; iy <= b.hi[1]; ++iy)
                 for (long ix = b.lo[0]; ix <= b.hi[0]; ++ix) {
-                    ++counts[iz * n2 + iy * n + ix];
+                    ++counts[iz * n2 + iy * n[0] + ix];
                     ++total;
                 }
     }
@@ -75,17 +75,17 @@ int64_t grid_count(const float* lo, const float* hi, int64_t n_obj,
 // is NOT modified; an internal cursor array tracks per-cell positions).
 // cursor must be a caller-provided scratch of n^3 int32 (zero-initialized).
 void grid_fill(const float* lo, const float* hi, int64_t n_obj,
-               const float* pmin, const float* pmax, int64_t n,
+               const float* pmin, const float* pmax, const int64_t* n,
                const int32_t* offsets, int32_t* cursor, int32_t* payload) {
     float inv_width[3];
     inv_cell_width(pmin, pmax, n, inv_width);
-    const int64_t n2 = n * n;
+    const int64_t n2 = n[0] * n[1];
     for (int64_t i = 0; i < n_obj; ++i) {
         BinBox b = object_cells(lo, hi, i, pmin, inv_width, n);
         for (long iz = b.lo[2]; iz <= b.hi[2]; ++iz)
             for (long iy = b.lo[1]; iy <= b.hi[1]; ++iy)
                 for (long ix = b.lo[0]; ix <= b.hi[0]; ++ix) {
-                    const int64_t c = iz * n2 + iy * n + ix;
+                    const int64_t c = iz * n2 + iy * n[0] + ix;
                     payload[offsets[c] + cursor[c]] =
                         static_cast<int32_t>(i);
                     ++cursor[c];

@@ -26,3 +26,45 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(20150415)
+
+
+# ---------------------------------------------------------------------------
+# Fast tier: `pytest -m "not slow"` runs in ~1 min on this CPU; the slow
+# tier (interpret-mode Pallas, the 8-device mesh, scene zoo, goldens of the
+# full path tracer) is the full-fidelity suite the driver runs per round.
+# Tests already decorated with @pytest.mark.slow are additive to this list.
+# ---------------------------------------------------------------------------
+
+_SLOW = {
+    # megakernel interpret-mode comparisons (minutes of interpreter time)
+    "test_matches_xla_pipeline_same_draws", "test_matches_xla_spp4",
+    "test_two_passes_accumulate", "test_rr_matches_xla_pipeline_same_draws",
+    "test_rr_unbiased", "test_sharded_megakernel_matches_single_device",
+    "test_direct_mode_matches_xla", "test_multi_pass_statistics_jitted",
+    # differentiable megakernel comparisons
+    "test_diff_grads_match_xla_direct_segment",
+    "test_diff_grads_match_xla_bounced", "test_diff_grads_match_xla_rr",
+    # 8-device virtual mesh
+    "test_sharded_render_matches_single_device",
+    "test_train_step_grads_match_single_device",
+    "test_objsharded_closest_hit_matches",
+    # full-pipeline goldens / progressive statistics
+    "test_golden", "test_direct_progressive_passes",
+    "test_pathtracer_progressive_mean_stable", "test_checkpoint_resume",
+    "test_pathtracer_spp_equivalence", "test_grid_image_equals_brute_image",
+    # heavyweight diff/runtime/viewer paths
+    "test_grad_triangle_vertices_interior",
+    "test_pathtracer_geometry_grad_finite", "test_grad_albedo_pathtracer_exact",
+    "test_grad_light_irradiance_linear", "test_cli_main_renders",
+    "test_orbax_sharded_checkpoint", "test_profile_trace_noop",
+    "test_progressive_step_and_reset",
+    # reference scene zoo (loads + renders every Assign10 scene)
+    "test_scene_loads_and_renders", "test_multi_light_accumulates_more",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _SLOW:
+            item.add_marker(pytest.mark.slow)
