@@ -35,9 +35,12 @@ Array = jax.Array
 
 
 def init_distributed(**kw) -> None:
-    """Multi-host entry (no-op if single-process)."""
-    if jax.process_count() == 1 and not kw:
-        return
+    """Multi-host entry (no-op if single-process). NOTE: must run before
+    anything initializes the XLA backend — so the no-kwargs probe must not
+    itself touch jax.process_count() until after the decision."""
+    if not kw:
+        if jax.process_count() == 1:
+            return
     jax.distributed.initialize(**kw)
 
 
@@ -64,7 +67,17 @@ def _state_sharding(mesh: Mesh) -> dict:
 
 def shard_state(state: dict, mesh: Mesh) -> dict:
     sh = _state_sharding(mesh)
-    return {k: jax.device_put(v, sh[k]) for k, v in state.items()}
+    out = {}
+    for k, v in state.items():
+        try:
+            out[k] = jax.device_put(v, sh[k])
+        except ValueError:
+            # ray count not divisible by the shard count: device_put
+            # refuses uneven shardings — leave the entry unplaced; the
+            # render fns shard it on entry (megakernel path pads the ray
+            # axis per-shard, GSPMD path partitions unevenly itself)
+            out[k] = v
+    return out
 
 
 def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
@@ -94,8 +107,9 @@ def sharded_render_passes(mesh: Mesh, cfg: RenderConfig, n_passes: int):
     from jax import shard_map
 
     n_shards = mesh.shape["rays"]
-    assert cfg.total_rays % n_shards == 0
-    local_r = cfg.total_rays // n_shards
+    R = cfg.total_rays
+    local_r = -(-R // n_shards)          # ceil: pad, don't assert
+    r_pad = local_r * n_shards
 
     def local_passes(scene, state):
         off = jax.lax.axis_index("rays") * local_r
@@ -109,11 +123,25 @@ def sharded_render_passes(mesh: Mesh, cfg: RenderConfig, n_passes: int):
         in_specs=(P(), spec_state), out_specs=spec_state,
         check_vma=False))
 
+    def fn_mega_padded(scene, state):
+        # non-divisible resolutions: pad the ray axis so every shard gets
+        # an equal slice; the kernel's in-range mask keeps padding lanes
+        # dead (global ids beyond the real ray count land in discarded
+        # accumulator slots)
+        if r_pad != R:
+            acc = state["acc"]
+            pad = jnp.zeros((r_pad - R,) + acc.shape[1:], acc.dtype)
+            state = {**state, "acc": jnp.concatenate([acc, pad])}
+        out = fn_mega(scene, state)
+        if r_pad != R:
+            out = {**out, "acc": out["acc"][:R]}
+        return out
+
     def fn(scene, state):
         # scene-size check happens at call time: big scenes (beyond the
         # kernel's unroll budget) take the GSPMD stage-pipeline path
         if mega.supported(scene, cfg):
-            return fn_mega(scene, state)
+            return fn_mega_padded(scene, state)
         return fn_gspmd(scene, state)
     return fn
 

@@ -127,6 +127,10 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
                                      scene.lights.count)
         local = state["acc"].shape[0]
         if local != cfg.total_rays or not isinstance(ray_offset, int):
+            # zero-pad so the last shard's window exists even when the ray
+            # axis was padded to a multiple of the shard count (clamped
+            # dynamic_slice would otherwise shift its draws)
+            u_planes = jnp.pad(u_planes, ((0, 0), (0, local)))
             u_planes = jax.lax.dynamic_slice_in_dim(
                 u_planes, jnp.asarray(ray_offset, jnp.int32), local, axis=1)
     par, sph, tri, mat, lig = scene_tables(scene, cfg)

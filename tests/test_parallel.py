@@ -62,6 +62,30 @@ def test_train_step_grads_match_single_device():
     assert np.isfinite(np.array(grads8["center"])).all()
 
 
+def test_sharded_megakernel_nondivisible_rays():
+    """Resolutions that don't divide the shard count: the ray axis is
+    padded per-shard (no divisibility assert); megakernel render must still
+    equal the single-device render on the real rays."""
+    from raytracing_tpu.render.mega import render_pass_mega
+
+    cfg = RenderConfig(width=36, height=15, spp=1, bounces=1, seed=4,
+                       use_megakernel=True)      # 540 rays, 8 shards -> pad
+    scene = cornell_box(cols=cfg.width, rows=cfg.height)
+    single = pathtracer.init_state(cfg)
+    for _ in range(2):
+        single = render_pass_mega(scene, single, cfg, interpret=True)
+
+    m = pm.make_mesh(8)
+    sscene = pm.replicate_scene(scene, m)
+    sstate = pm.shard_state(pathtracer.init_state(cfg), m)
+    fn = pm.sharded_render_passes(m, cfg, n_passes=2)
+    out = fn(sscene, sstate)
+    got, ref = np.asarray(out["acc"]), np.asarray(single["acc"])
+    assert got.shape == ref.shape
+    assert ((got != 0) == (ref != 0)).all()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-5)
+
+
 def test_mesh_shapes():
     m = pm.make_mesh(8)
     assert m.devices.size == 8 and m.axis_names == ("rays",)
