@@ -12,9 +12,13 @@ bench_baseline.json (1.0 on the first run).
 
 Env knobs: BENCH_WIDTH/HEIGHT/PASSES/REPS/BOUNCES/SCENE, BENCH_MEGA=0
 (bench the XLA stage pipeline instead of the fused megakernel),
-BENCH_MODE=train (fwd+bwd), BENCH_CONFIG=1..5 (the five BASELINE.json
-configs: 1 fake-shade sphere, 2 direct lighting + shadows, 3 mesh+grid,
-4 thin lens spp4, 5 path tracing — default)."""
+BENCH_MODE=train (fwd+bwd — since round 2 this rides the differentiable
+megakernel's custom VJP), BENCH_RR=1 (Russian roulette termination),
+BENCH_FULL=1 (config 5 EXACTLY as BASELINE.json specifies: 1024
+progressive samples/pixel with RR, one number for the whole render),
+BENCH_CONFIG=1..5 (the five BASELINE.json configs: 1 fake-shade sphere,
+2 direct lighting + shadows, 3 mesh+grid, 4 thin lens spp4,
+5 path tracing — default)."""
 from __future__ import annotations
 
 import json
@@ -38,20 +42,36 @@ def main() -> None:
     scene_name = os.environ.get("BENCH_SCENE", "cornell")
     bounces = int(os.environ.get("BENCH_BOUNCES", "5"))
 
-    # the fused whole-pass Pallas megakernel is the production forward path
-    # (8-9x the XLA stage pipeline on v5e); BENCH_MEGA=0 benches the XLA path
-    use_mega = os.environ.get("BENCH_MEGA", "1") == "1" and mode != "train"
+    # the fused whole-pass Pallas megakernel is the production path for BOTH
+    # forward and fwd+bwd (custom VJP since round 2); BENCH_MEGA=0 benches
+    # the XLA stage pipeline
+    use_mega = os.environ.get("BENCH_MEGA", "1") == "1"
+    rr = os.environ.get("BENCH_RR", "0") == "1" \
+        or os.environ.get("BENCH_FULL", "0") == "1"
     cfg = RenderConfig(width=width, height=height, spp=1, bounces=bounces,
-                       use_megakernel=use_mega)
+                       use_megakernel=use_mega, russian_roulette=rr,
+                       rr_start_depth=2)
     if scene_name == "spheres":
         scene = sphere_field(int(os.environ.get("BENCH_NSPHERES", "1024")),
                              cols=width, rows=height)
+    elif scene_name == "house":
+        # 5,322-triangle house_of_parliament: the streaming megakernel's
+        # target workload (Morton chunks + tile-level AABB culling)
+        from raytracing_tpu.models.scenes import big_mesh_scene
+        scene = big_mesh_scene(cols=width, rows=height)
+    elif scene_name == "teapot":
+        from raytracing_tpu.models.scenes import big_mesh_scene
+        scene = big_mesh_scene("teapot.json", cols=width, rows=height)
     else:
         scene = cornell_box(cols=width, rows=height)
 
     bench_config = int(os.environ.get("BENCH_CONFIG", "5"))
     if bench_config != 5:
         _config_bench(jax, bench_config, width, height)
+        return
+
+    if os.environ.get("BENCH_FULL", "0") == "1":
+        _full_render_bench(jax, scene, cfg)
         return
 
     if mode == "train":
@@ -140,6 +160,40 @@ def _config_bench(jax, config: int, width: int, height: int) -> None:
     print(json.dumps({
         "metric": f"config{config}_{name}_rays_per_s",
         "value": round(work / dt, 1),
+        "unit": "ray_segments/s/chip",
+        "vs_baseline": 1.0,
+    }))
+
+
+def _full_render_bench(jax, scene, cfg) -> None:
+    """BASELINE.json config 5 EXACTLY as written: 1024x1024, 1024
+    progressive samples/pixel (1024 passes at spp=1), Russian roulette
+    termination, through the production megakernel. One JSON line for the
+    complete converged render. Segment accounting is nominal (issued
+    wavefront segments; RR kills make real work smaller)."""
+    from raytracing_tpu.render import pathtracer
+
+    spp_total = int(os.environ.get("BENCH_SPP_TOTAL", "1024"))
+    chunk = int(os.environ.get("BENCH_PASSES", "64"))
+    state = pathtracer.init_state(cfg)
+    # compile once at the steady chunk size
+    state = pathtracer.render_passes(scene, state, cfg, chunk)
+    float(state["acc"].ravel()[0])
+    state = pathtracer.init_state(cfg)
+    done = 0
+    t0 = time.perf_counter()
+    while done < spp_total:
+        n = min(chunk, spp_total - done)
+        state = pathtracer.render_passes(scene, state, cfg,
+                                         chunk if n == chunk else n)
+        done += n
+    float(state["acc"].ravel()[0])
+    dt = time.perf_counter() - t0
+    n_lights = scene.lights.count
+    segs = cfg.total_rays * (1 + n_lights + cfg.bounces * (1 + n_lights))
+    print(json.dumps({
+        "metric": "config5_full_1024spp_rr_rays_per_s",
+        "value": round(segs * spp_total / dt, 1),
         "unit": "ray_segments/s/chip",
         "vs_baseline": 1.0,
     }))

@@ -86,6 +86,45 @@ def cornell_box(cols: int = 320, rows: int = 240,
                        lens_diameter=lens_diameter)
 
 
+def big_mesh_scene(name: str = "house_of_parliament.json",
+                   cols: int = 512, rows: int = 512) -> Scene:
+    """Large-triangle-count scene from a reference mesh JSON (the assets
+    the reference's grid exists for — house_of_parliament.json is 5,322
+    triangles, ref Assign04-07 tri/). Normalized to the unit cube, one
+    overhead disk light, camera auto-framed. Exercises the streaming
+    (Morton-chunk + tile-culling) megakernel path."""
+    import os
+
+    from ..core.types import AABB, Camera, Lights
+    from ..io.mesh_json import load_mesh_json, normalize_unit_cube
+
+    path = None
+    for d in ["Assign07-3D_uniform_grid_acceleration",
+              "Assign06-1D_uniform_slab_acceleration",
+              "Assign05-Bounding_Box", "Assign04-Triangle_Mesh",
+              "Assign10-Path_Tracing"]:
+        p = f"/root/reference/{d}/tri/{name}"
+        if os.path.exists(p):
+            path = p
+            break
+    if path is None:
+        raise FileNotFoundError(name)
+    md = normalize_unit_cube(load_mesh_json(path))
+    tris = make_triangles(md.positions, md.normals, md.material_indices)
+    materials = np.asarray(md.materials, np.float32).reshape(-1, 4)
+    if materials.size == 0:
+        materials = np.array([[0.8, 0.8, 0.8, 1.0]], np.float32)
+    lights = Lights.make([[0.0, 2.5, 0.0]], [[0.0, -1.0, 0.0]],
+                         [[8.0, 8.0, 8.0]], [0.8])
+    import jax.numpy as jnp
+    bounds = AABB(pmin=jnp.asarray(md.bounds_min),
+                  pmax=jnp.asarray(md.bounds_max))
+    cam = Camera.auto_frame(bounds, cols, rows)
+    return build_scene(camera=cam, triangles=tris, lights=lights,
+                       materials=materials, focal_length=2.0,
+                       lens_diameter=0.0)
+
+
 def sphere_field(n_spheres: int, cols: int = 512, rows: int = 512,
                  seed: int = 7, spread: float = 4.0) -> Scene:
     """Random multi-sphere scene (Assign02-style benchmark scene) with one

@@ -58,6 +58,15 @@ UNROLL_OBJECTS = 64
 # v5e, 1022 tris, 512x512 b5: 65 ms/pass vs 160 ms with the same loop
 # reading VMEM). 32k f32 (= 1024 tris at 32 f32 each) verified to fit.
 SMEM_TABLE_MAX = 36 * 1024
+# triangle tables beyond the SMEM budget STREAM: Morton-sorted chunks of
+# this many triangles, per-chunk AABBs in an SMEM cull table; each ray tile
+# slab-tests a chunk's AABB against its live t-windows (vector test, scalar
+# any-reduce) and only DMAs + intersects chunks some ray can still hit.
+# This is the TPU-native analog of the reference's uniform grid (ref
+# splitTriangleData binning, code.js:1643-1772; DDA code.cl:675-800):
+# identical build-time spatial binning, consumed at tile granularity —
+# the granularity at which a vector machine can actually skip work.
+STREAM_CHUNK = 128
 
 
 def _loop_objects(n: int, body, init):
@@ -155,21 +164,21 @@ class _Draws:
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
+def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                         n_rays: int, spp: int, width: int, bounces: int,
                         n_sph: int, n_tri: int, n_mat: int, n_lig: int,
                         two_sided: bool, normalize_emitter: bool,
                         use_u: bool, seed: int, mode: str = "path",
                         russian_roulette: bool = False,
-                        rr_start_depth: int = 0):
-    if use_u:
-        u_ref = rest[0]
-        acc_in = rest[1:4]
-        acc_out = rest[4:7]
-    else:
-        u_ref = None
-        acc_in = rest[0:3]
-        acc_out = rest[3:6]
+                        rr_start_depth: int = 0,
+                        stream_tri: bool = False, n_chunks: int = 0):
+    rest = list(rest)
+    u_ref = rest.pop(0) if use_u else None
+    acc_in = rest[0:3]
+    acc_out = rest[3:6]
+    if stream_tri:
+        # scratch: SMEM chunk buffer + DMA sem + champion/occlusion state
+        (smem_chunk, dma_sem, s_bt, s_bnx, s_bny, s_bnz, s_bm) = rest[6:13]
 
     shape = (SUBLANES, LANES)
     pid = pl.program_id(0)
@@ -264,8 +273,39 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
     # large triangle sets run as fori_loop over SMEM; there, normal
     # interpolation is DEFERRED out of the champion loop (carry champion
     # beta/gamma/index, resolve the 9 vn reads in a cheap one-hot pass
-    # afterward) — ~20% fewer VPU ops per triangle on the hot loop
-    defer_interp = n_tri > UNROLL_OBJECTS
+    # afterward) — ~20% fewer VPU ops per triangle on the hot loop.
+    # Streaming chunks interpolate inline (an O(n_tri) deferred pick pass
+    # would defeat the culling).
+    defer_interp = n_tri > UNROLL_OBJECTS and not stream_tri
+
+    def chunk_overlap(c, ox, oy, oz, invdx, invdy, invdz, lo, hi):
+        """Does any ray's [lo, hi] window overlap chunk c's AABB? Vector
+        slab test against SMEM scalar bounds + scalar any-reduce — the
+        tile-level culling test (grid analog; ~30 VPU ops/ray/chunk vs
+        ~45*STREAM_CHUNK for the chunk's triangles)."""
+        t0x = (chk[c, 0] - ox) * invdx
+        t1x = (chk[c, 3] - ox) * invdx
+        t0y = (chk[c, 1] - oy) * invdy
+        t1y = (chk[c, 4] - oy) * invdy
+        t0z = (chk[c, 2] - oz) * invdz
+        t1z = (chk[c, 5] - oz) * invdz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                      jnp.maximum(t0y, t1y)),
+                          jnp.maximum(t0z, t1z))
+        return jnp.maximum(near, lo) <= jnp.minimum(far, hi)
+
+    def safe_inv(d_):
+        return 1.0 / jnp.where(d_ == 0.0, 1e-30, d_)
+
+    def fetch_chunk(c):
+        cp = pltpu.make_async_copy(
+            tri.at[pl.ds(c * STREAM_CHUNK, STREAM_CHUNK), :],
+            smem_chunk, dma_sem)
+        cp.start()
+        cp.wait()
 
     def trace(ox, oy, oz, dx, dy, dz, mint, maxt):
         alive = mint != maxt
@@ -351,11 +391,73 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
                     bbe, bga,
                     jnp.where(better, -1.0, bid))
 
+        def tri_body_smem(i, c):
+            """tri_body against the DMA'd SMEM chunk row (inline interp)."""
+            bt, bnx, bny, bnz, bm = c
+            ngx, ngy, ngz = smem_chunk[i, 0], smem_chunk[i, 1], smem_chunk[i, 2]
+            c1x, c1y, c1z = smem_chunk[i, 3], smem_chunk[i, 4], smem_chunk[i, 5]
+            c2x, c2y, c2z = smem_chunk[i, 6], smem_chunk[i, 7], smem_chunk[i, 8]
+            e1x, e1y, e1z = smem_chunk[i, 9], smem_chunk[i, 10], smem_chunk[i, 11]
+            e2x, e2y, e2z = smem_chunk[i, 12], smem_chunk[i, 13], smem_chunk[i, 14]
+            kk, mf, msk = smem_chunk[i, 15], smem_chunk[i, 16], smem_chunk[i, 17]
+            div = ngx * dx + ngy * dy + ngz * dz
+            side_ok = (div != 0.0) if two_sided else (div > 0.0)
+            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+            beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+            gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+            t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+            okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
+                & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
+                & (msk > 0.0) & alive
+            t = jnp.where(okh, t, inf2)
+            better = t < bt
+            alpha = 1.0 - beta - gamma
+            hnx = alpha * smem_chunk[i, 18] + beta * smem_chunk[i, 21] \
+                + gamma * smem_chunk[i, 24]
+            hny = alpha * smem_chunk[i, 19] + beta * smem_chunk[i, 22] \
+                + gamma * smem_chunk[i, 25]
+            hnz = alpha * smem_chunk[i, 20] + beta * smem_chunk[i, 23] \
+                + gamma * smem_chunk[i, 26]
+            hnx, hny, hnz = _normalize3(hnx, hny, hnz)
+            return (jnp.where(better, t, bt),
+                    jnp.where(better, hnx, bnx),
+                    jnp.where(better, hny, bny),
+                    jnp.where(better, hnz, bnz),
+                    jnp.where(better, mf, bm))
+
         c = init
         if n_sph:
             c = _loop_objects(n_sph, sph_body, c)
-        if n_tri:
+        if n_tri and not stream_tri:
             c = _loop_objects(n_tri, tri_body, c)
+        if n_tri and stream_tri:
+            # tile-level chunk culling: champion state parks in VMEM
+            # scratch so chunks a tile cannot hit are skipped entirely
+            # (pl.when over the scalar any-reduce)
+            s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
+            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+            def chunk_loop(ci, _):
+                bt_cur = s_bt[:]
+                hi = jnp.minimum(maxt, bt_cur)
+                overlap = chunk_overlap(ci, ox, oy, oz,
+                                        invdx, invdy, invdz, mint, hi)
+                overlap = overlap & alive
+
+                @pl.when(jnp.any(overlap))
+                def _():
+                    fetch_chunk(ci)
+                    carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:])
+                    carry = jax.lax.fori_loop(0, STREAM_CHUNK,
+                                              tri_body_smem, carry)
+                    s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = carry
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
+            c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
+                 c[5], c[6], c[7])
         bt, bnx, bny, bnz, bm, bbe, bga, bid = c
         if defer_interp and n_tri:
             # one-hot vn fetch for the champion triangle, then interpolate
@@ -434,11 +536,50 @@ def _render_pass_kernel(ipar, par, sph, tri, mat, lig, *rest,
                 & (msk > 0.0) & alive
             return jnp.where(okh, 1.0, occ)
 
+        def tri_body_smem(i, occ):
+            ngx, ngy, ngz = smem_chunk[i, 0], smem_chunk[i, 1], smem_chunk[i, 2]
+            c1x, c1y, c1z = smem_chunk[i, 3], smem_chunk[i, 4], smem_chunk[i, 5]
+            c2x, c2y, c2z = smem_chunk[i, 6], smem_chunk[i, 7], smem_chunk[i, 8]
+            e1x, e1y, e1z = smem_chunk[i, 9], smem_chunk[i, 10], smem_chunk[i, 11]
+            e2x, e2y, e2z = smem_chunk[i, 12], smem_chunk[i, 13], smem_chunk[i, 14]
+            kk, msk = smem_chunk[i, 15], smem_chunk[i, 17]
+            div = ngx * dx + ngy * dy + ngz * dz
+            side_ok = (div != 0.0) if two_sided else (div > 0.0)
+            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+            beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+            gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+            t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+            okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
+                & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
+                & (msk > 0.0) & alive
+            return jnp.where(okh, 1.0, occ)
+
         occ = jnp.zeros(shape)
         if n_sph:
             occ = _loop_objects(n_sph, sph_body, occ)
-        if n_tri:
+        if n_tri and not stream_tri:
             occ = _loop_objects(n_tri, tri_body, occ)
+        if n_tri and stream_tri:
+            s_bt[:] = occ
+            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+            def chunk_loop(ci, _):
+                free = s_bt[:] == 0.0      # not yet occluded
+                overlap = chunk_overlap(ci, ox, oy, oz,
+                                        invdx, invdy, invdz, mint, maxt)
+                overlap = overlap & alive & free
+
+                @pl.when(jnp.any(overlap))
+                def _():
+                    fetch_chunk(ci)
+                    s_bt[:] = jax.lax.fori_loop(0, STREAM_CHUNK,
+                                                tri_body_smem, s_bt[:])
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
+            occ = s_bt[:]
         return occ > 0.0
 
     def albedo_of(mf):
@@ -651,7 +792,8 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                           seed: int, interpret: bool = False,
                           mode: str = "path",
                           russian_roulette: bool = False,
-                          rr_start_depth: int = 0) -> Array:
+                          rr_start_depth: int = 0,
+                          chunks: Array | None = None) -> Array:
     """One progressive pass over ``acc`` (R, 3) -> new (R, 3).
 
     par: (NPAR,) f32 scalars; ipar: (1,) i32 [pass_idx];
@@ -676,13 +818,21 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
         # matching n_* count is 0 so the dummy row is never read
         return t if t.shape[0] else jnp.zeros((1,) + t.shape[1:], t.dtype)
 
+    stream_tri = chunks is not None and tri.shape[0] > 0
     n_args = dict(n_rays=R, spp=spp, width=width, bounces=bounces,
                   n_sph=sph.shape[0], n_tri=tri.shape[0],
                   n_mat=mat.shape[0], n_lig=lig.shape[0],
                   two_sided=two_sided, normalize_emitter=normalize_emitter,
                   use_u=u_planes is not None, seed=seed, mode=mode,
                   russian_roulette=russian_roulette,
-                  rr_start_depth=rr_start_depth)
+                  rr_start_depth=rr_start_depth,
+                  stream_tri=stream_tri,
+                  n_chunks=(tri.shape[0] // STREAM_CHUNK
+                            if stream_tri else 0))
+    if stream_tri:
+        assert tri.shape[0] % STREAM_CHUNK == 0, \
+            "streaming tri table must be padded to a chunk multiple"
+        assert chunks.shape[0] == tri.shape[0] // STREAM_CHUNK
 
     ray_block = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -695,9 +845,13 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
         return smem if t.size <= SMEM_TABLE_MAX else vmem
 
     sph, tri, mat, lig = map(nonempty, (sph, tri, mat, lig))
-    in_specs = [smem, smem, table_spec(sph), table_spec(tri),
+    if chunks is None:
+        chunks = jnp.zeros((1, 8), jnp.float32)
+    tri_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri \
+        else table_spec(tri)
+    in_specs = [smem, smem, table_spec(sph), tri_spec, smem,
                 table_spec(mat), table_spec(lig)]
-    args = [ipar, par, sph, tri, mat, lig]
+    args = [ipar, par, sph, tri, chunks, mat, lig]
     if u_planes is not None:
         D2 = u_planes.shape[0]
         u3 = jnp.stack([_pad_plane(u_planes[j], P) for j in range(D2)])
@@ -709,6 +863,18 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
     args += acc_planes
     n_in = len(args)
 
+    scratch_shapes = []
+    if stream_tri:
+        scratch_shapes = [
+            pltpu.SMEM((STREAM_CHUNK, tri.shape[1]), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bt / occ
+            pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bnx
+            pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bny
+            pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bnz
+            pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bm
+        ]
+
     out = pl.pallas_call(
         functools.partial(_render_pass_kernel, **n_args),
         out_shape=tuple(jax.ShapeDtypeStruct((P // LANES, LANES), jnp.float32)
@@ -717,6 +883,7 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
         in_specs=in_specs,
         out_specs=(ray_block,) * 3,
         input_output_aliases={n_in - 3: 0, n_in - 2: 1, n_in - 1: 2},
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*args)
     return jnp.stack([p.reshape(-1)[:R] for p in out], axis=-1)

@@ -20,6 +20,57 @@ from .stages import _all_triangles
 Array = jax.Array
 
 
+def _morton_codes(centroid: Array, pmin: Array, pmax: Array) -> Array:
+    """30-bit Morton code of AABB centroids (10 bits/axis). Spatially sorts
+    triangles so fixed-size chunks are compact in space — the build-time
+    binning step of the TPU-native accel path (the analog of the
+    reference's splitTriangleData cell binning, code.js:1643-1772, consumed
+    at ray-tile granularity instead of per-ray DDA)."""
+    ext = jnp.maximum(pmax - pmin, 1e-20)
+    q = jnp.clip((centroid - pmin) / ext * 1024.0, 0.0, 1023.0)
+    q = q.astype(jnp.uint32)
+
+    def spread(x):
+        # interleave: insert two zero bits between each of the 10 bits
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+            | (spread(q[:, 2]) << 2)).astype(jnp.uint32)
+
+
+def tri_chunk_tables(scene: Scene, tri: Array, tris) -> tuple[Array, Array]:
+    """(tri_sorted, chunks) for the streaming kernel: triangles reordered
+    by Morton code, padded to a STREAM_CHUNK multiple, plus per-chunk
+    conservative AABBs (nc, 8) [pmin xyz, pmax xyz, pad2] for the SMEM
+    cull table. Padding rows keep mask=0 and an empty (inverted) AABB."""
+    T = tris.count
+    v = tris.v                                    # (T, 3, 3) raw verts
+    cen = v.mean(1)
+    order = jnp.argsort(_morton_codes(cen, scene.bounds.pmin,
+                                      scene.bounds.pmax))
+    tri_s = tri[order]
+    v_s = v[order]
+    C = MK.STREAM_CHUNK
+    Tp = -(-T // C) * C
+    if Tp != T:
+        pad_rows = jnp.zeros((Tp - T, tri.shape[1]), tri.dtype)
+        tri_s = jnp.concatenate([tri_s, pad_rows])
+        v_s = jnp.concatenate(
+            [v_s, jnp.full((Tp - T, 3, 3), jnp.nan, v.dtype)])
+    nc = Tp // C
+    vc = v_s.reshape(nc, C * 3, 3)
+    lo = jnp.nan_to_num(jnp.nanmin(vc, axis=1), nan=jnp.inf,
+                        posinf=jnp.inf, neginf=-jnp.inf)
+    hi = jnp.nan_to_num(jnp.nanmax(vc, axis=1), nan=-jnp.inf,
+                        posinf=jnp.inf, neginf=-jnp.inf)
+    chunks = jnp.concatenate([lo, hi, jnp.zeros((nc, 2))], -1)
+    return tri_s.astype(jnp.float32), chunks.astype(jnp.float32)
+
+
 def scene_tables(scene: Scene, cfg: RenderConfig
                  ) -> tuple[Array, Array, Array, Array, Array]:
     """(par, sph, tri, mat, lig) packed for the kernel. Pure jnp — safe to
@@ -83,8 +134,11 @@ def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
     if scene is None or not ok:
         return ok
     from ..render.stages import _all_triangles
+    # triangle tables of any size are covered: SMEM-resident up to the
+    # budget, Morton-chunk STREAMING with tile-level AABB culling beyond it
+    # (the large-scene production path since round 2)
     return (scene.spheres.count * 8 <= MK.SMEM_TABLE_MAX
-            and _all_triangles(scene).count * 32 <= MK.SMEM_TABLE_MAX)
+            and _all_triangles(scene).count <= (1 << 20))
 
 
 def supported_diff(scene: Scene | None, cfg: RenderConfig) -> bool:
@@ -134,6 +188,9 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
             u_planes = jax.lax.dynamic_slice_in_dim(
                 u_planes, jnp.asarray(ray_offset, jnp.int32), local, axis=1)
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
+    chunks = None
+    if tri.size > MK.SMEM_TABLE_MAX:
+        tri, chunks = tri_chunk_tables(scene, tri, _all_triangles(scene))
     ipar = jnp.stack([jnp.asarray(state["passes"], jnp.int32),
                       jnp.asarray(ray_offset, jnp.int32)])
     kw = dict(spp=cfg.spp, width=cfg.width, bounces=cfg.bounces,
@@ -142,7 +199,7 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
               seed=cfg.seed, interpret=interpret,
               russian_roulette=cfg.russian_roulette,
               rr_start_depth=cfg.rr_start_depth)
-    if supported_diff(scene, cfg):
+    if chunks is None and supported_diff(scene, cfg):
         # differentiable path (custom VJP; same primal kernel, fused
         # recompute backward — ops/pallas/megakernel_grad.py). jax.grad
         # through this render works; gradients flow to camera, spheres,
@@ -152,7 +209,8 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
                                   state["acc"], u_planes, **kw)
     else:
         acc = MK.pathtrace_pass_pallas(par, ipar, sph, tri, mat, lig,
-                                       state["acc"], u_planes, **kw)
+                                       state["acc"], u_planes,
+                                       chunks=chunks, **kw)
     return {"acc": acc, "key": state["key"], "passes": state["passes"] + 1}
 
 
@@ -178,6 +236,9 @@ def render_direct_mega(scene: Scene, cfg: RenderConfig,
     if key is None:
         key = rng.base_key(cfg.seed)
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
+    chunks = None
+    if tri.size > MK.SMEM_TABLE_MAX:
+        tri, chunks = tri_chunk_tables(scene, tri, _all_triangles(scene))
 
     def one_pass(pass_idx, acc, up):
         ipar = jnp.stack([jnp.asarray(pass_idx, jnp.int32), jnp.int32(0)])
@@ -186,7 +247,8 @@ def render_direct_mega(scene: Scene, cfg: RenderConfig,
             spp=cfg.spp, width=cfg.width, bounces=0,
             two_sided=cfg.two_sided_triangles,
             normalize_emitter=cfg.normalize_emitter,
-            seed=cfg.seed, interpret=interpret, mode="direct")
+            seed=cfg.seed, interpret=interpret, mode="direct",
+            chunks=chunks)
 
     acc0 = jnp.zeros((cfg.total_rays, 3), jnp.float32)
     if n_passes == 1:

@@ -174,6 +174,45 @@ def test_direct_mode_matches_xla(small_scene, spp, lens):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
+def test_streaming_chunks_match_xla(small_scene, monkeypatch):
+    """The large-scene STREAMING path (Morton chunks + tile-level AABB
+    culling + SMEM DMA) vs the XLA pipeline with identical draws. Streaming
+    is forced by shrinking the SMEM budget so a 310-triangle scene spans 3
+    chunks."""
+    import dataclasses
+
+    from raytracing_tpu.core.types import Triangles, make_triangles
+    from raytracing_tpu.ops.pallas import megakernel as MK
+
+    rng = np.random.default_rng(5)
+    T = 300
+    base = rng.uniform(-0.9, 0.9, (T, 1, 3)).astype(np.float32)
+    v = base + rng.uniform(-0.08, 0.08, (T, 3, 3)).astype(np.float32)
+    n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    vn = np.broadcast_to(n[:, None, :], (T, 3, 3)).copy()
+    tris = make_triangles(v, vn, rng.integers(0, 5, T).astype(np.int32))
+    base_t = small_scene.triangles
+    scene = dataclasses.replace(small_scene, triangles=Triangles(
+        v=jnp.concatenate([base_t.v, tris.v]),
+        vn=jnp.concatenate([base_t.vn, tris.vn]),
+        mat_id=jnp.concatenate([base_t.mat_id, tris.mat_id]),
+        mask=jnp.concatenate([base_t.mask, tris.mask])))
+    cfg = RenderConfig(width=32, height=24, spp=1, bounces=1,
+                       two_sided_triangles=True)
+    state0 = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(state0["key"], state0["passes"], cfg,
+                          scene.lights.count)
+    monkeypatch.setattr(MK, "SMEM_TABLE_MAX", 64)
+    got = render_pass_mega(scene, state0, cfg, u_planes=u, interpret=True)
+    monkeypatch.undo()
+    ref = pathtracer._render_pass(scene, state0, cfg)
+    np.testing.assert_allclose(np.asarray(got["acc"]),
+                               np.asarray(ref["acc"]),
+                               rtol=3e-4, atol=3e-4)
+
+
 def test_multi_pass_statistics_jitted(small_scene):
     """Megakernel routed through the jitted multi-pass program
     (render_passes with cfg.use_megakernel, the production call path) vs
