@@ -48,9 +48,11 @@ def main() -> None:
     use_mega = os.environ.get("BENCH_MEGA", "1") == "1"
     rr = os.environ.get("BENCH_RR", "0") == "1" \
         or os.environ.get("BENCH_FULL", "0") == "1"
+    # grads wrt geometry+albedo only (the BASELINE.json metric) — skips the
+    # camera/light transpose work in the backward megakernel
     cfg = RenderConfig(width=width, height=height, spp=1, bounces=bounces,
                        use_megakernel=use_mega, russian_roulette=rr,
-                       rr_start_depth=2)
+                       rr_start_depth=2, mega_grad_wrt=("sph", "mat"))
     if scene_name == "spheres":
         scene = sphere_field(int(os.environ.get("BENCH_NSPHERES", "1024")),
                              cols=width, rows=height)

@@ -33,8 +33,16 @@ class RenderConfig:
                                        # (fastest on v5e at 1k-object scenes:
                                        # 19.5 ms/Mray vs 20.0 @512, 23.5 @1024)
     use_pallas: bool = False           # fused Pallas closest-hit kernels
-    use_megakernel: bool = False       # whole-pass fused Pallas kernel (forward
-                                       # only; brute-force path; see render/mega.py)
+    use_megakernel: bool = False       # whole-pass fused Pallas kernel
+                                       # (fwd + custom-VJP bwd; see render/mega.py)
+    mega_grad_wrt: tuple = ("par", "sph", "tri", "mat", "lig")
+                                       # parameter groups the differentiable
+                                       # megakernel returns real cotangents
+                                       # for; restrict (e.g. ("sph","mat") =
+                                       # BASELINE's geometry+albedo) to skip
+                                       # unneeded transpose work
+    mega_bwd_sublanes: int = 32        # backward kernel tile height (must
+                                       # divide the forward's 32)
     seed: int = 1234
 
     @property

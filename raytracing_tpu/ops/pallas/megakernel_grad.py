@@ -476,13 +476,17 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
 # Backward kernel
 # ---------------------------------------------------------------------------
 
+DIFF_ALL = ("par", "sph", "tri", "mat", "lig")
+
+
 def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
                 n_rays: int, spp: int, width: int, bounces: int,
                 n_sph: int, n_tri: int, n_mat: int, n_lig: int,
                 two_sided: bool, normalize_emitter: bool,
                 use_u: bool, seed: int, mode: str,
                 russian_roulette: bool, rr_start_depth: int,
-                remat: bool):
+                remat: bool, diff_wrt: tuple = DIFF_ALL,
+                bwd_sublanes: int = SUBLANES):
     if use_u:
         u_ref = rest[0]
         g_refs = rest[1:4]
@@ -493,28 +497,39 @@ def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
         outs = rest[3:8]
     dpar_ref, dsph_ref, dtri_ref, dmat_ref, dlig_ref = outs
 
-    shape = (SUBLANES, LANES)
+    S_B = bwd_sublanes
+    shape = (S_B, LANES)
     pid = pl.program_id(0)
     roff = ipar[1]
     if not use_u:
+        # PRNG replay must match the FORWARD's (SUBLANES, LANES) tiles:
+        # seed per forward tile, generate its full planes, slice this
+        # backward tile's row window
+        ratio = SUBLANES // S_B
+        f_tile = pid // ratio if ratio > 1 else pid
         mixed = (jnp.int32(seed & 0x7FFFFFFF) * jnp.int32(1000003)
-                 + ipar[0] * jnp.int32(40503) + roff * jnp.int32(131) + pid)
+                 + ipar[0] * jnp.int32(40503) + roff * jnp.int32(131)
+                 + f_tile)
         pltpu.prng_seed(mixed)
-    pairs = _materialize_draws(u_ref, shape, spp=spp, n_lig=n_lig,
+    pairs = _materialize_draws(u_ref, (SUBLANES, LANES) if not use_u
+                               else shape,
+                               spp=spp, n_lig=n_lig,
                                bounces=bounces, rr=russian_roulette,
                                mode=mode)
+    if not use_u and S_B != SUBLANES:
+        q = pid % (SUBLANES // S_B)
+        row0 = q * S_B
+        pairs = [tuple(jax.lax.dynamic_slice(u, (row0, 0), (S_B, LANES))
+                       for u in p) for p in pairs]
 
-    rid = ((pid * SUBLANES
+    rid = ((pid * S_B
             + jax.lax.broadcasted_iota(jnp.int32, shape, 0)) * LANES
            + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
     in_range = rid < n_rays
     ridf = (rid + roff).astype(jnp.float32)
 
-    par_s = [par[i] for i in range(NPAR)]
-    sph_v = sph[:]
-    tri_v = tri[:]
-    mat_v = mat[:]
-    lig_v = lig[:]
+    vals = dict(par=[par[i] for i in range(NPAR)], sph=sph[:], tri=tri[:],
+                mat=mat[:], lig=lig[:])
 
     prog = functools.partial(
         _tile_program, pairs=pairs, ridf=ridf, in_range=in_range,
@@ -524,13 +539,25 @@ def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
         russian_roulette=russian_roulette, rr_start_depth=rr_start_depth,
         mode=mode)
 
-    def f(par_list, sph_a, tri_a, mat_a, lig_a):
-        return prog(par_list, sph_a, tri_a, mat_a, lig_a)
+    # differentiate only the requested parameter groups (the rest are
+    # closure constants — their transpose work is DCE'd away; e.g. the
+    # BASELINE metric wants geometry+albedo only, not the camera chain)
+    sel = [n for n in DIFF_ALL if n in diff_wrt]
+
+    def f(*sel_args):
+        v = dict(vals)
+        v.update(dict(zip(sel, sel_args)))
+        return prog(v["par"], v["sph"], v["tri"], v["mat"], v["lig"])
 
     del remat  # segment-level remat hook (currently whole-tile vjp)
-    _, vjp_fn = jax.vjp(f, par_s, sph_v, tri_v, mat_v, lig_v)
+    _, vjp_fn = jax.vjp(f, *[vals[n] for n in sel])
     g = tuple(ref[:] for ref in g_refs)
-    dpar_l, dsph, dtri, dmat, dlig = vjp_fn(g)
+    cot = dict(zip(sel, vjp_fn(g)))
+    dpar_l = cot.get("par", [jnp.float32(0.0)] * NPAR)
+    dsph = cot.get("sph", jnp.zeros_like(vals["sph"]))
+    dtri = cot.get("tri", jnp.zeros_like(vals["tri"]))
+    dmat = cot.get("mat", jnp.zeros_like(vals["mat"]))
+    dlig = cot.get("lig", jnp.zeros_like(vals["lig"]))
 
     @pl.when(pid == 0)
     def _():
@@ -552,11 +579,13 @@ def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
 def _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, *,
                 spp, width, bounces, two_sided, normalize_emitter,
                 seed, interpret, mode, russian_roulette, rr_start_depth,
-                remat):
+                remat, diff_wrt=DIFF_ALL, bwd_sublanes=SUBLANES):
     """Parameter cotangents for one pass. g: (R, 3) cotangent of acc_out."""
+    assert SUBLANES % bwd_sublanes == 0, \
+        "backward tiles must subdivide the forward's PRNG tiles"
     R = g.shape[0]
     P = -(-R // TILE) * TILE
-    n_tiles = P // TILE
+    n_tiles = P // (bwd_sublanes * LANES)
     g_planes = [_pad_plane(g[:, c], P) for c in range(3)]
 
     def nonempty(t):
@@ -569,9 +598,10 @@ def _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, *,
               two_sided=two_sided, normalize_emitter=normalize_emitter,
               use_u=u_planes is not None, seed=seed, mode=mode,
               russian_roulette=russian_roulette,
-              rr_start_depth=rr_start_depth, remat=remat)
+              rr_start_depth=rr_start_depth, remat=remat,
+              diff_wrt=tuple(diff_wrt), bwd_sublanes=bwd_sublanes)
 
-    ray_block = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+    ray_block = pl.BlockSpec((bwd_sublanes, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -581,7 +611,7 @@ def _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, *,
     if u_planes is not None:
         D2 = u_planes.shape[0]
         u3 = jnp.stack([_pad_plane(u_planes[j], P) for j in range(D2)])
-        in_specs.append(pl.BlockSpec((D2, SUBLANES, LANES),
+        in_specs.append(pl.BlockSpec((D2, bwd_sublanes, LANES),
                                      lambda i: (0, i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(u3)
@@ -623,7 +653,8 @@ def _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, *,
 
 def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
                    spp, width, bounces, two_sided, normalize_emitter,
-                   seed, mode, russian_roulette, rr_start_depth):
+                   seed, mode, russian_roulette, rr_start_depth,
+                   diff_wrt=("par", "sph", "tri", "mat", "lig")):
     """Plain-XLA cotangents: jax.vjp of _tile_program over the whole padded
     ray set as ONE tile. Used (a) on CPU/interpret, where running the
     backward Pallas kernel through the interpreter costs minutes per call,
@@ -650,9 +681,16 @@ def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
     in_range = rid < R
     ridf = (rid + ipar[1]).astype(jnp.float32)
 
-    def f(par_list, sph_a, tri_a, mat_a, lig_a):
+    vals = dict(par=[par[i] for i in range(NPAR)], sph=sph_n, tri=tri_n,
+                mat=mat_n, lig=lig_n)
+    sel = [n for n in DIFF_ALL if n in diff_wrt]
+
+    def f(*sel_args):
+        v = dict(vals)
+        v.update(dict(zip(sel, sel_args)))
         return _tile_program(
-            par_list, sph_a, tri_a, mat_a, lig_a, pairs, ridf, in_range,
+            v["par"], v["sph"], v["tri"], v["mat"], v["lig"],
+            pairs, ridf, in_range,
             spp=spp, width=width, bounces=bounces,
             n_sph=sph.shape[0], n_tri=tri.shape[0],
             n_mat=mat.shape[0], n_lig=lig.shape[0],
@@ -660,10 +698,14 @@ def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
             russian_roulette=russian_roulette,
             rr_start_depth=rr_start_depth, mode=mode)
 
-    par_s = [par[i] for i in range(NPAR)]
-    _, vjp_fn = jax.vjp(f, par_s, sph_n, tri_n, mat_n, lig_n)
-    dpar_l, dsph, dtri, dmat, dlig = vjp_fn(g_planes)
-    return (jnp.stack(dpar_l), dsph, dtri, dmat, dlig)
+    _, vjp_fn = jax.vjp(f, *[vals[n] for n in sel])
+    cot = dict(zip(sel, vjp_fn(g_planes)))
+    dpar_l = cot.get("par", [jnp.float32(0.0)] * NPAR)
+    return (jnp.stack(dpar_l),
+            cot.get("sph", jnp.zeros_like(sph_n)),
+            cot.get("tri", jnp.zeros_like(tri_n)),
+            cot.get("mat", jnp.zeros_like(mat_n)),
+            cot.get("lig", jnp.zeros_like(lig_n)))
 
 
 # ---------------------------------------------------------------------------
@@ -672,7 +714,8 @@ def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
 
 @functools.lru_cache(maxsize=None)
 def _make_diff_op(spp, width, bounces, two_sided, normalize_emitter, seed,
-                  interpret, mode, russian_roulette, rr_start_depth, remat):
+                  interpret, mode, russian_roulette, rr_start_depth, remat,
+                  diff_wrt, bwd_sublanes):
     kw = dict(spp=spp, width=width, bounces=bounces, two_sided=two_sided,
               normalize_emitter=normalize_emitter, seed=seed,
               interpret=interpret, mode=mode,
@@ -695,11 +738,13 @@ def _make_diff_op(spp, width, bounces, two_sided, normalize_emitter, seed,
             bkw = dict(kw)
             bkw.pop("interpret")
             dpar, dsph, dtri, dmat, dlig = _bwd_reference(
-                par, ipar, sph, tri, mat, lig, g, u_planes, **bkw)
+                par, ipar, sph, tri, mat, lig, g, u_planes,
+                diff_wrt=diff_wrt, **bkw)
         else:
             dpar, dsph, dtri, dmat, dlig = _bwd_pallas(
                 par, ipar, sph, tri, mat, lig, g, u_planes,
-                remat=remat, **kw)
+                remat=remat, diff_wrt=diff_wrt,
+                bwd_sublanes=bwd_sublanes, **kw)
         # slice off the dummy row added for empty tables
         def cut(d, t):
             return d[:t.shape[0]] if t.shape[0] else jnp.zeros_like(t)
@@ -716,11 +761,15 @@ def pathtrace_pass_diff(par, ipar, sph, tri, mat, lig, acc, u_planes, *,
                         spp, width, bounces, two_sided, normalize_emitter,
                         seed, interpret=False, mode="path",
                         russian_roulette=False, rr_start_depth=0,
-                        remat=True):
+                        remat=True, diff_wrt=DIFF_ALL,
+                        bwd_sublanes=SUBLANES):
     """Differentiable megakernel pass: primal = the fused forward kernel;
     backward = the fused recompute-VJP kernel above. Unrolled-table scenes
-    only (see supported_diff in render/mega.py)."""
+    only (see supported_diff in render/mega.py). ``diff_wrt`` restricts
+    which parameter groups get real cotangents (others return zeros —
+    opt-in via cfg.mega_grad_wrt; the BASELINE metric is geometry+albedo)."""
     op = _make_diff_op(spp, width, bounces, two_sided, normalize_emitter,
                        seed, interpret, mode, russian_roulette,
-                       rr_start_depth, remat)
+                       rr_start_depth, remat, tuple(diff_wrt),
+                       bwd_sublanes)
     return op(par, ipar, sph, tri, mat, lig, acc, u_planes)

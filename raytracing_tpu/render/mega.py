@@ -206,7 +206,9 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
         # triangles, materials and lights via the scene_tables packing.
         from ..ops.pallas.megakernel_grad import pathtrace_pass_diff
         acc = pathtrace_pass_diff(par, ipar, sph, tri, mat, lig,
-                                  state["acc"], u_planes, **kw)
+                                  state["acc"], u_planes,
+                                  diff_wrt=cfg.mega_grad_wrt,
+                                  bwd_sublanes=cfg.mega_bwd_sublanes, **kw)
     else:
         acc = MK.pathtrace_pass_pallas(par, ipar, sph, tri, mat, lig,
                                        state["acc"], u_planes,

@@ -92,8 +92,34 @@ def test_diff_gating():
                                                  use_grid=True))
 
 
+def test_diff_wrt_subset(scene):
+    """cfg.mega_grad_wrt restricts cotangents: selected groups match the
+    full-gradient run, unselected return zeros."""
+    cfg_full = RenderConfig(width=32, height=24, spp=1, bounces=1)
+    cfg_sub = dataclasses.replace(cfg_full, mega_grad_wrt=("sph", "mat"))
+    state0 = pathtracer.init_state(cfg_full)
+    u = u_planes_for_pass(state0["key"], state0["passes"], cfg_full,
+                          scene.lights.count)
+    _, g_full = _grads(scene, cfg_full,
+                       lambda sc, st: render_pass_mega(sc, st, cfg_full,
+                                                       u_planes=u,
+                                                       interpret=True))
+    _, g_sub = _grads(scene, cfg_sub,
+                      lambda sc, st: render_pass_mega(sc, st, cfg_sub,
+                                                      u_planes=u,
+                                                      interpret=True))
+    for k in ["center", "radius", "mat"]:
+        np.testing.assert_allclose(np.asarray(g_sub[k]),
+                                   np.asarray(g_full[k]), rtol=1e-6,
+                                   err_msg=k)
+    for k in ["tv", "irr", "lpos", "eye"]:
+        assert (np.asarray(g_sub[k]) == 0).all(), k
+        assert np.abs(np.asarray(g_full[k])).max() > 0, k
+
+
 @pytest.mark.slow
-def test_bwd_pallas_kernel_matches_reference():
+@pytest.mark.parametrize("bwd_sublanes", [32, 8])
+def test_bwd_pallas_kernel_matches_reference(bwd_sublanes):
     """The actual backward Pallas kernel (interpret mode) vs the plain-XLA
     reference cotangents: same tile program, so the only differences are
     the tile decomposition and the in-kernel accumulation order."""
@@ -116,7 +142,8 @@ def test_bwd_pallas_kernel_matches_reference():
               mode="path", russian_roulette=False, rr_start_depth=0)
     ref = _bwd_reference(par, ipar, sph, tri, mat, lig, g, u, **kw)
     got = _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u,
-                      interpret=True, remat=False, **kw)
+                      interpret=True, remat=False,
+                      bwd_sublanes=bwd_sublanes, **kw)
     names = ["dpar", "dsph", "dtri", "dmat", "dlig"]
     for name, a, b in zip(names, ref, got):
         a, b = np.asarray(a), np.asarray(b)[:a.shape[0]]
