@@ -198,3 +198,70 @@ def test_pathtracer_geometry_grad_finite():
     g = jax.grad(loss)(scene.spheres.center)
     assert np.isfinite(np.array(g)).all()
     assert np.abs(np.array(g)).sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# Edge-aware gradients through the REAL direct-lighting pipeline: FD-allclose
+# on a full-image loss — NO interior masking, silhouette and shadow-boundary
+# pixels included (VERDICT r1 item 5; BASELINE.json north star).
+# ---------------------------------------------------------------------------
+
+def _soft_scene(cols=48, rows=36):
+    from raytracing_tpu.diff.soft import render_direct_soft
+    cfg = RenderConfig(width=cols, height=rows, spp=1, bounces=0)
+    scene = cornell_box(cols=cols, rows=rows)
+    return scene, cfg, render_direct_soft
+
+
+def test_soft_direct_fd_allclose_sphere_center_no_mask():
+    scene, cfg, render_soft = _soft_scene()
+
+    def loss(c):
+        sc = dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres, center=c))
+        return jnp.mean(render_soft(sc, cfg, bandwidth=1e-2, tau=1e-2))
+
+    g = np.asarray(jax.grad(loss)(scene.spheres.center))
+    c0 = np.asarray(scene.spheres.center)
+    eps = 5e-4
+    for i in range(c0.shape[0]):
+        for j in range(3):
+            e = np.zeros_like(c0)
+            e[i, j] = eps
+            fd = float((loss(jnp.asarray(c0 + e))
+                        - loss(jnp.asarray(c0 - e))) / (2 * eps))
+            assert abs(g[i, j] - fd) < 2e-4 + 5e-3 * abs(fd), (i, j, g[i, j], fd)
+    assert np.abs(g).max() > 1e-3      # silhouette terms present
+
+
+def test_soft_direct_fd_allclose_triangle_vertex_no_mask():
+    scene, cfg, render_soft = _soft_scene()
+
+    def loss(v):
+        sc = dataclasses.replace(
+            scene, triangles=dataclasses.replace(scene.triangles, v=v))
+        return jnp.mean(render_soft(sc, cfg, bandwidth=1e-2, tau=1e-2))
+
+    g = np.asarray(jax.grad(loss)(scene.triangles.v))
+    v0 = np.asarray(scene.triangles.v)
+    eps = 5e-4
+    for (ti, vi, ci) in [(6, 0, 0), (6, 1, 1), (8, 2, 2), (2, 0, 1)]:
+        e = np.zeros_like(v0)
+        e[ti, vi, ci] = eps
+        fd = float((loss(jnp.asarray(v0 + e))
+                    - loss(jnp.asarray(v0 - e))) / (2 * eps))
+        assert abs(g[ti, vi, ci] - fd) < 2e-4 + 5e-3 * abs(fd), \
+            (ti, vi, ci, g[ti, vi, ci], fd)
+    assert np.isfinite(g).all()
+
+
+def test_soft_direct_converges_to_hard():
+    from raytracing_tpu.render.direct import render_direct
+    scene, cfg, render_soft = _soft_scene()
+    hard = np.asarray(render_direct(scene, cfg))
+    l1 = []
+    for bw in [2e-2, 5e-3, 1e-3]:
+        soft = np.asarray(render_soft(scene, cfg, bandwidth=bw, tau=bw))
+        l1.append(np.abs(soft - hard).mean())
+    assert l1[0] > l1[1] > l1[2]
+    assert l1[2] < 0.02
