@@ -96,6 +96,39 @@ def _march(rays: Rays, grid: Grid, cell_test, R: int):
     return best_t, best_i
 
 
+# grids up to this many cells use the DENSE cell scan: a lax.scan over
+# cells where each step dynamic-slices ONE row of the packed cell table
+# (no (R, C) one-hot, no per-ray gather) and champions its items within
+# the ray window. Identical results to the march/brute: the union of the
+# binned items is the full object set and duplicated hits are idempotent
+# (SURVEY §7 quirk 9), so no per-cell t-window is needed (a fp-exact
+# window would drop hits landing exactly on cell-boundary planes). O(C*K
+# duplicated items) per ray — the right trade below ~512 cells, where the
+# march's per-step lockstep overhead dominates; larger scenes take the
+# streaming megakernel (ops/pallas/megakernel.py STREAM_CHUNK).
+DENSE_MAX_CELLS = 512
+
+
+def _dense_cell_scan(rays: Rays, grid: Grid, cell_items_test, R: int):
+    """Champion over cells via lax.scan. ``cell_items_test(c, lo, hi) ->
+    (t (R,K), ids (R,K))`` evaluates cell c's padded items inside the
+    per-ray t-window [lo, hi]."""
+    C = grid.items.shape[0]
+
+    def body(carry, c):
+        best_t, best_i = carry
+        t, ids = cell_items_test(c, rays.mint, rays.maxt)
+        tb, kb = _best_of_cell(t, ids)
+        better = tb < best_t
+        return (jnp.where(better, tb, best_t),
+                jnp.where(better, kb, best_i)), None
+
+    init = (jnp.full((R,), INF), jnp.full((R,), -1, jnp.int32))
+    (best_t, best_i), _ = jax.lax.scan(body, init,
+                                       jnp.arange(C, dtype=jnp.int32))
+    return best_t, best_i
+
+
 def _best_of_cell(t: Array, ids: Array) -> tuple[Array, Array]:
     """(R, K) candidate ts + item ids -> per-ray (t, id). Fusable where/min
     instead of argmin + gather (ties between distinct objects at identical
@@ -111,9 +144,12 @@ def _best_of_cell(t: Array, ids: Array) -> tuple[Array, Array]:
 # Spheres
 # ---------------------------------------------------------------------------
 
-def grid_closest_spheres(rays: Rays, spheres: Spheres, grid: Grid) -> Champion:
+def grid_closest_spheres(rays: Rays, spheres: Spheres, grid: Grid,
+                         method: str = "auto") -> Champion:
     R = rays.n
     C, K = grid.items.shape
+    use_dense = method == "dense" or (method == "auto"
+                                      and C <= DENSE_MAX_CELLS)
 
     # Per-cell parameter table, built ONCE per trace (tiny (C, K) gather over
     # the object arrays; XLA hoists it out of the march loop). Per DDA step
@@ -129,11 +165,8 @@ def grid_closest_spheres(rays: Rays, spheres: Spheres, grid: Grid) -> Champion:
         safe[..., None].astype(jnp.float32),                     # item id
     ], axis=-1).reshape(C, K * 6)
 
-    def cell_test(cell_id, active):
-        # out-of-range cell_id matches no one-hot row -> zero params ->
-        # mask 0 -> INF (no gather-OOB hazard)
-        f = onehot_fetch(cell_tab, cell_id,
-                         obj_chunk=max(C, 1)).reshape(R, K, 6)
+    def _sphere_window_test(f, lo, hi, active):
+        """(R, K, 6) params + per-ray window -> (t, ids)."""
         c = f[..., 0:3]
         r = f[..., 3]
         mask = (f[..., 4] > 0.0) & active[:, None]
@@ -150,13 +183,30 @@ def grid_closest_spheres(rays: Rays, spheres: Spheres, grid: Grid) -> Champion:
         t1 = (-b + sq) * inv2a
         tmn = jnp.minimum(t0, t1)
         tmx = jnp.maximum(t0, t1)
-        lo, hi = rays.mint[:, None], rays.maxt[:, None]
         t = jnp.where((tmn >= lo) & (tmn <= hi), tmn,
                       jnp.where((tmx >= lo) & (tmx <= hi), tmx, INF))
         t = jnp.where(has & mask, t, INF)
-        return _best_of_cell(t, ids)
+        return t, ids
 
-    best_t, best_i = jax.lax.stop_gradient(_march(rays, grid, cell_test, R))
+    def cell_test(cell_id, active):
+        # out-of-range cell_id matches no one-hot row -> zero params ->
+        # mask 0 -> INF (no gather-OOB hazard)
+        f = onehot_fetch(cell_tab, cell_id,
+                         obj_chunk=max(C, 1)).reshape(R, K, 6)
+        return _best_of_cell(*_sphere_window_test(
+            f, rays.mint[:, None], rays.maxt[:, None], active))
+
+    def cell_items_test(c, lo, hi):
+        row = jax.lax.dynamic_slice_in_dim(cell_tab, c, 1, axis=0)
+        f = jnp.broadcast_to(row.reshape(1, K, 6), (R, K, 6))
+        return _sphere_window_test(f, lo[:, None], hi[:, None], rays.alive)
+
+    if use_dense:
+        best_t, best_i = jax.lax.stop_gradient(
+            _dense_cell_scan(rays, grid, cell_items_test, R))
+    else:
+        best_t, best_i = jax.lax.stop_gradient(
+            _march(rays, grid, cell_test, R))
     valid = jnp.isfinite(best_t) & rays.alive
 
     # differentiable recompute (same pattern as ops.closest_hit)
@@ -185,10 +235,13 @@ def grid_closest_spheres(rays: Rays, spheres: Spheres, grid: Grid) -> Champion:
 # ---------------------------------------------------------------------------
 
 def grid_closest_triangles(rays: Rays, tris: Triangles, grid: Grid,
-                           two_sided: bool = False) -> Champion:
+                           two_sided: bool = False,
+                           method: str = "auto") -> Champion:
     R = rays.n
 
     C, K = grid.items.shape
+    use_dense = method == "dense" or (method == "auto"
+                                      and C <= DENSE_MAX_CELLS)
     # per-cell Moller-Trumbore constants (same split as
     # ops.intersect.tri_constants), built once; see the note in
     # grid_closest_spheres on why no per-ray gathers appear in the loop
@@ -205,9 +258,7 @@ def grid_closest_triangles(rays: Rays, tris: Triangles, grid: Grid,
 
     oxd = jnp.cross(rays.o, rays.d)                              # (R, 3)
 
-    def cell_test(cell_id, active):
-        f = onehot_fetch(cell_tab, cell_id,
-                         obj_chunk=max(C, 1)).reshape(R, K, 18)
+    def _tri_window_test(f, lo, hi, active):
         n_geo = f[..., 0:3]
         c1 = f[..., 3:6]
         c2 = f[..., 6:9]
@@ -226,12 +277,27 @@ def grid_closest_triangles(rays: Rays, tris: Triangles, grid: Grid,
         gamma = (jnp.sum(c1 * dd, -1) - jnp.sum(e1 * xx, -1)) * idiv
         t = (kk - jnp.sum(n_geo * oo, -1)) * idiv
         ok = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) & \
-            (beta + gamma <= 1.0) & (t >= rays.mint[:, None]) & \
-            (t <= rays.maxt[:, None]) & mask
+            (beta + gamma <= 1.0) & (t >= lo) & (t <= hi) & mask
         t = jnp.where(ok, t, INF)
-        return _best_of_cell(t, ids)
+        return t, ids
 
-    best_t, best_i = jax.lax.stop_gradient(_march(rays, grid, cell_test, R))
+    def cell_test(cell_id, active):
+        f = onehot_fetch(cell_tab, cell_id,
+                         obj_chunk=max(C, 1)).reshape(R, K, 18)
+        return _best_of_cell(*_tri_window_test(
+            f, rays.mint[:, None], rays.maxt[:, None], active))
+
+    def cell_items_test(c, lo, hi):
+        row = jax.lax.dynamic_slice_in_dim(cell_tab, c, 1, axis=0)
+        f = jnp.broadcast_to(row.reshape(1, K, 18), (R, K, 18))
+        return _tri_window_test(f, lo[:, None], hi[:, None], rays.alive)
+
+    if use_dense:
+        best_t, best_i = jax.lax.stop_gradient(
+            _dense_cell_scan(rays, grid, cell_items_test, R))
+    else:
+        best_t, best_i = jax.lax.stop_gradient(
+            _march(rays, grid, cell_test, R))
     valid = jnp.isfinite(best_t) & rays.alive
 
     T = tris.count

@@ -49,8 +49,9 @@ def test_csr_native_matches_python(rng):
     assert (np.array(g_py.item_indices) == np.array(g_nat.item_indices)).all()
 
 
+@pytest.mark.parametrize("method", ["march", "dense"])
 @pytest.mark.parametrize("n_slabs", [1, 2, 4])
-def test_grid_spheres_match_brute(rng, n_slabs):
+def test_grid_spheres_match_brute(rng, n_slabs, method):
     S, R = 30, 200
     cen = rng.uniform(-2, 2, (S, 3)).astype(np.float32)
     rad = rng.uniform(0.1, 0.6, S).astype(np.float32)
@@ -59,7 +60,7 @@ def test_grid_spheres_match_brute(rng, n_slabs):
     grid = build_sphere_grid(sp, lo.min(0), hi.max(0), n_slabs)
     rays = random_rays(rng, R)
     brute = closest_hit_spheres(rays, sp)
-    gridc = grid_closest_spheres(rays, sp, grid)
+    gridc = grid_closest_spheres(rays, sp, grid, method=method)
     assert (np.array(gridc.valid) == np.array(brute.valid)).all()
     ok = np.array(brute.valid)
     np.testing.assert_allclose(np.array(gridc.t)[ok], np.array(brute.t)[ok],
@@ -67,9 +68,10 @@ def test_grid_spheres_match_brute(rng, n_slabs):
     assert (np.array(gridc.idx)[ok] == np.array(brute.idx)[ok]).all()
 
 
+@pytest.mark.parametrize("method", ["march", "dense"])
 @pytest.mark.parametrize("n_slabs", [1, 3])
 @pytest.mark.parametrize("two_sided", [False, True])
-def test_grid_triangles_match_brute(rng, n_slabs, two_sided):
+def test_grid_triangles_match_brute(rng, n_slabs, two_sided, method):
     T, R = 25, 200
     base = rng.uniform(-2, 2, (T, 1, 3)).astype(np.float32)
     v = base + rng.uniform(-0.6, 0.6, (T, 3, 3)).astype(np.float32)
@@ -78,7 +80,8 @@ def test_grid_triangles_match_brute(rng, n_slabs, two_sided):
                                v.reshape(-1, 3).max(0), n_slabs)
     rays = random_rays(rng, R)
     brute = closest_hit_triangles(rays, tris, two_sided=two_sided)
-    gridc = grid_closest_triangles(rays, tris, grid, two_sided=two_sided)
+    gridc = grid_closest_triangles(rays, tris, grid, two_sided=two_sided,
+                                   method=method)
     assert (np.array(gridc.valid) == np.array(brute.valid)).all()
     ok = np.array(brute.valid)
     np.testing.assert_allclose(np.array(gridc.t)[ok], np.array(brute.t)[ok],
