@@ -67,6 +67,12 @@ SMEM_TABLE_MAX = 36 * 1024
 # identical build-time spatial binning, consumed at tile granularity —
 # the granularity at which a vector machine can actually skip work.
 STREAM_CHUNK = 128
+# triangle tables stream above the unroll budget. (Round-2 measurement,
+# v5e 512x512 b5: the former SMEM-fori middle path ran teapot at 0.99x
+# the XLA pipeline and compiled for ~17 minutes through the relay; the
+# streaming path's tile culling lets wall-facing tiles skip the mesh
+# outright and compiles an order of magnitude faster.)
+STREAM_MIN_TRIS = UNROLL_OBJECTS
 
 
 def _loop_objects(n: int, body, init):

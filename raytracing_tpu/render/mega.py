@@ -54,10 +54,15 @@ def tri_chunk_tables(scene: Scene, tri: Array, tris) -> tuple[Array, Array]:
                                       scene.bounds.pmax))
     tri_s = tri[order]
     v_s = v[order]
+    # rows padded to the full 128-lane width: chunk DMA slices must be
+    # aligned to the (1, 128) memref tiling
+    if tri_s.shape[1] < 128:
+        tri_s = jnp.concatenate(
+            [tri_s, jnp.zeros((T, 128 - tri_s.shape[1]), tri.dtype)], -1)
     C = MK.STREAM_CHUNK
     Tp = -(-T // C) * C
     if Tp != T:
-        pad_rows = jnp.zeros((Tp - T, tri.shape[1]), tri.dtype)
+        pad_rows = jnp.zeros((Tp - T, tri_s.shape[1]), tri.dtype)
         tri_s = jnp.concatenate([tri_s, pad_rows])
         v_s = jnp.concatenate(
             [v_s, jnp.full((Tp - T, 3, 3), jnp.nan, v.dtype)])
@@ -119,15 +124,13 @@ def scene_tables(scene: Scene, cfg: RenderConfig
 
 
 def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
-    """The megakernel covers the default brute-force forward path for
-    scenes whose object tables fit the SMEM budget. Small scenes (<=64
-    objects/type) unroll with static table reads; medium scenes run the
-    object loop as fori_loop over SMEM tables (native scalar reads) with
-    deferred normal interpolation — measured on v5e 512x512 b5: 197 tris
-    15.8 ms/pass vs 18.7 XLA pipeline, 1022 tris 52 ms vs 62. Scenes whose
-    tables exceed SMEM (~1150 tris) auto-route to the XLA stage pipeline,
-    whose dense (O, R) MXU formulation scales better anyway.
-    Russian roulette is supported in-kernel (BASELINE.json config 5).
+    """The megakernel covers the default brute-force path. Small scenes
+    (<= UNROLL_OBJECTS per type) unroll with static SMEM table reads;
+    larger triangle sets STREAM (Morton chunks + tile-level AABB culling +
+    SMEM DMA — v5e 512x512 b5: house_of_parliament 9,144 tris at ~4x the
+    XLA stage pipeline). Russian roulette runs in-kernel (BASELINE.json
+    config 5). Sphere tables must still fit SMEM (~4.5k spheres); bigger
+    molecule scenes take the XLA pipeline.
     With ``scene=None`` only the config is checked (build-time call sites)."""
     ok = (not cfg.use_grid and not cfg.replicate_stale_poi
           and cfg.total_rays < (1 << 24))
@@ -161,8 +164,9 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
                      interpret: bool | None = None,
                      ray_offset: Array | int = 0) -> dict:
     """One progressive pass, megakernel edition. Same state contract as
-    pathtracer._render_pass; forward-only (no custom VJP — use the XLA
-    path for gradients).
+    pathtracer._render_pass. Unrolled-table scenes route through the
+    custom-VJP op (jax.grad works; ops/pallas/megakernel_grad.py);
+    streaming scenes are forward-only.
 
     Under shard_map, ``state['acc']`` is the shard-local slice and
     ``ray_offset`` the global index of its first ray (axis_index * local_R):
@@ -189,7 +193,7 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
                 u_planes, jnp.asarray(ray_offset, jnp.int32), local, axis=1)
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
     chunks = None
-    if tri.size > MK.SMEM_TABLE_MAX:
+    if tri.shape[0] > MK.STREAM_MIN_TRIS:
         tri, chunks = tri_chunk_tables(scene, tri, _all_triangles(scene))
     ipar = jnp.stack([jnp.asarray(state["passes"], jnp.int32),
                       jnp.asarray(ray_offset, jnp.int32)])
@@ -239,7 +243,7 @@ def render_direct_mega(scene: Scene, cfg: RenderConfig,
         key = rng.base_key(cfg.seed)
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
     chunks = None
-    if tri.size > MK.SMEM_TABLE_MAX:
+    if tri.shape[0] > MK.STREAM_MIN_TRIS:
         tri, chunks = tri_chunk_tables(scene, tri, _all_triangles(scene))
 
     def one_pass(pass_idx, acc, up):

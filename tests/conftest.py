@@ -44,6 +44,7 @@ _SLOW = {
     # differentiable megakernel comparisons
     "test_diff_grads_match_xla_direct_segment",
     "test_diff_grads_match_xla_bounced", "test_diff_grads_match_xla_rr",
+    "test_diff_wrt_subset",
     # 8-device virtual mesh
     "test_sharded_render_matches_single_device",
     "test_train_step_grads_match_single_device",
