@@ -138,7 +138,15 @@ def _config_bench(jax, config: int, width: int, height: int) -> None:
         kw["n_passes"] = int(os.environ.get("BENCH_PASSES", "16"))
         name, work = "direct_lighting", None
     elif config == 3:
-        render, args, cfg = A.assign07(width, height, n_slabs=4)
+        # the reference's flagship grid workload: cornell walls (brute)
+        # + 992-tri teapot mesh instance (uniform grid) — in-kernel grid
+        # mode of the megakernel; steady-state progressive accumulation
+        # like config 2 (all passes in one jit call)
+        render, args, cfg = A.assign07(
+            width, height, n_slabs=int(os.environ.get("BENCH_NSLABS", "3")),
+            scene_xml="/root/reference/Assign10-Path_Tracing/scenes/"
+                      "cornell_teapot.xml")
+        kw["n_passes"] = int(os.environ.get("BENCH_PASSES", "16"))
         name, work = "mesh_grid_dda", None
     elif config == 4:
         render, args, cfg = A.assign09(width, height, spp=4)

@@ -26,5 +26,46 @@ def prepare_grids(scene: Scene, n_slabs: int | tuple = 1) -> Scene:
         replace(m, grid=build_triangle_grid(m.tris, m.bounds_min,
                                             m.bounds_max, m.nslabs))
         for m in scene.meshes)
+    # The megakernel's grid-mode table (folded_tri_grid), mirroring the
+    # reference's dispatch split (code.js:1293-1303): when meshes exist,
+    # the grid covers ONLY the mesh triangles over their merged (tight)
+    # bounds — scene triangles (walls) run the kernel's brute loop, since
+    # face-spanning triangles bin into O(n^2) cells each and make a scene-
+    # bounds grid strictly slower (the reference's own default scene grid
+    # is 1^3, code.js:399). Meshless scenes grid the scene triangles.
+    # Item indices are absolute into the _all_triangles fold (scene tris
+    # first, then meshes); results are identical to the per-source grids
+    # (grid == brute, hits idempotent).
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .grid import mega_order_grid, triangle_aabbs
+    folded_grid = None
+    eye = np.asarray(scene.camera.eye)
+    # grid the LARGE meshes only (the _all_triangles fold puts them last);
+    # small meshes join the walls in the kernel's brute prefix — matching
+    # the reference's per-mesh dispatch (64 = megakernel UNROLL_OBJECTS)
+    large = [m for m in scene.meshes if m.tris.count > 64]
+    if large:
+        from ..core.types import Triangles
+        start = scene.triangles.count + sum(
+            m.tris.count for m in scene.meshes if m.tris.count <= 64)
+        mv = jnp.concatenate([m.tris.v for m in large])
+        bmin = np.min([np.asarray(m.bounds_min) for m in large], axis=0)
+        bmax = np.max([np.asarray(m.bounds_max) for m in large], axis=0)
+        mesh_tris = Triangles(v=mv, vn=mv, mat_id=jnp.zeros(mv.shape[0],
+                                                            jnp.int32),
+                              mask=jnp.ones(mv.shape[0], bool))
+        g = build_triangle_grid(mesh_tris, bmin, bmax, n_slabs)
+        lo, hi = triangle_aabbs(np.asarray(mv))
+        folded_grid = mega_order_grid(g, lo, hi, eye, index_offset=start)
+    elif scene.triangles.count + sum(m.tris.count for m in scene.meshes):
+        # no large mesh: grid the whole fold (scene tris + small meshes)
+        from ..render.stages import _all_triangles
+        folded = _all_triangles(scene)
+        lo, hi = triangle_aabbs(np.asarray(folded.v))
+        g = build_triangle_grid(folded, lo.min(0), hi.max(0), n_slabs)
+        folded_grid = mega_order_grid(g, lo, hi, eye)
     return replace(scene, sphere_grid=sphere_grid,
-                   triangle_grid=triangle_grid, meshes=meshes)
+                   triangle_grid=triangle_grid, meshes=meshes,
+                   folded_tri_grid=folded_grid)

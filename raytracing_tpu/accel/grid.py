@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from typing import Any
+
 from ..core.types import _pytree_dataclass, static_field
 
 Array = jax.Array
@@ -43,6 +45,16 @@ class Grid:
     pmax: Array           # (3,)
     n: tuple = static_field(default=(1, 1, 1))   # (nx, ny, nz) per axis
     max_per_cell: int = static_field(default=0)
+    start: int = static_field(default=0)  # first index of the folded
+    #                                       triangle array this grid covers
+    #                                       (megakernel grid mode: indices
+    #                                       below run the brute loop — the
+    #                                       reference's scene-tris-vs-mesh
+    #                                       dispatch split, code.js:1293-1303)
+    cell_bounds: Any = None  # (ncells, 6) TIGHT per-cell AABB [lo, hi] of
+    #                          the binned items clipped to the cell, in
+    #                          VISIT order (mega_order_grid); None on plain
+    #                          builds
 
 
 def _n3(n) -> tuple[int, int, int]:
@@ -116,6 +128,62 @@ def build_grid(lo: np.ndarray, hi: np.ndarray, pmin, pmax, n,
                 items=jnp.asarray(items),
                 pmin=jnp.asarray(pmin), pmax=jnp.asarray(pmax),
                 n=n, max_per_cell=K)
+
+
+def mega_order_grid(grid: Grid, lo: np.ndarray, hi: np.ndarray,
+                    eye, index_offset: int = 0) -> Grid:
+    """Prepare a grid for the megakernel's in-kernel traversal:
+
+      * cells re-ordered front-to-back by distance from the camera eye to
+        the cell center, so champions form in the first visited cells and
+        the shrinking ``min(maxt, champion)`` window culls the rest — the
+        tile-granular analog of the reference DDA's early exit
+        (code.cl:745-786);
+      * per-cell TIGHT AABBs (union of the binned items' boxes clipped to
+        the cell) for the kernel's slab test — boundary cells shrink to
+        their occupied corner.
+
+    ``lo/hi``: (O, 3) item AABBs in the grid's LOCAL index space;
+    ``index_offset`` is added to the stored item indices (folded-array
+    offset). Only the megakernel consumes the result — the XLA DDA
+    (accel/traverse.py) addresses cells by computed id and must use the
+    plain build."""
+    nx, ny, nz = grid.n
+    ncells = nx * ny * nz
+    pmin = np.asarray(grid.pmin)
+    pmax = np.asarray(grid.pmax)
+    width = (pmax - pmin) / np.asarray([nx, ny, nz])
+    width = np.where(width <= 0, 1e-30, width)
+    offsets = np.asarray(grid.cell_offsets)
+    payload = np.asarray(grid.item_indices)
+
+    iz, rem = np.divmod(np.arange(ncells), ny * nx)
+    iy, ix = np.divmod(rem, nx)
+    cell_lo = pmin[None, :] + np.stack([ix, iy, iz], -1) * width[None, :]
+    centers = cell_lo + 0.5 * width[None, :]
+    order = np.argsort(np.linalg.norm(centers - np.asarray(eye)[None, :],
+                                      axis=-1), kind="stable")
+
+    counts = np.diff(offsets)[order]
+    new_off = np.zeros(ncells + 1, np.int32)
+    np.cumsum(counts, out=new_off[1:])
+    new_pay = np.concatenate(
+        [payload[offsets[c]:offsets[c + 1]] for c in order]) \
+        if payload.size else payload
+    bounds = np.zeros((ncells, 6), np.float32)
+    for k, c in enumerate(order):
+        ids = payload[offsets[c]:offsets[c + 1]]
+        if ids.size:
+            blo = np.maximum(lo[ids].min(0), cell_lo[c])
+            bhi = np.minimum(hi[ids].max(0), cell_lo[c] + width)
+            bounds[k, :3] = blo
+            bounds[k, 3:] = bhi
+    return dataclasses.replace(
+        grid,
+        cell_offsets=jnp.asarray(new_off),
+        item_indices=jnp.asarray(new_pay.astype(np.int32) + index_offset),
+        cell_bounds=jnp.asarray(bounds),
+        start=index_offset)
 
 
 def sphere_aabbs(centers: np.ndarray, radii: np.ndarray):

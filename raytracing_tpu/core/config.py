@@ -43,6 +43,14 @@ class RenderConfig:
                                        # unneeded transpose work
     mega_bwd_sublanes: int = 32        # backward kernel tile height (must
                                        # divide the forward's 32)
+    mega_block: int = 0                # megakernel pixel-block side (e.g.
+                                       # 64): ray tiles map to square pixel
+                                       # blocks instead of row-major strips,
+                                       # so tile-level culling (grid cells /
+                                       # stream chunks) sees compact
+                                       # frustums. 0 = row-major. Requires
+                                       # width % block == height % block
+                                       # == 0; the host unpermutes images.
     seed: int = 1234
 
     @property

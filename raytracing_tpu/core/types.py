@@ -411,6 +411,11 @@ class Scene:
     lens_radius: Array       # () lens_diameter / 2
     sphere_grid: Any = None    # accel.grid.Grid, built by prepare_grids
     triangle_grid: Any = None
+    folded_tri_grid: Any = None  # one grid over ALL triangles (scene tris +
+    #                              mesh instances, fold order of
+    #                              render.stages._all_triangles) at the
+    #                              scene resolution — the megakernel's
+    #                              grid-mode table (render/mega.py)
 
     @property
     def bounds(self) -> AABB:

@@ -117,8 +117,13 @@ def assign03(cols=512, rows=512, molecule="c60.pdb"):
 def _mesh_scene(cols, rows, use_grid: bool, n_slabs: int = 1,
                 slab_1d: bool = False):
     scene = cornell_box(cols=cols, rows=rows)
+    # production route is the fused megakernel (grid scenes run its
+    # in-kernel uniform-grid mode); the XLA stage/grid pipeline stays
+    # reachable with use_megakernel=False for parity tests
     cfg = RenderConfig(width=cols, height=rows, spp=1, bounces=0,
-                       use_grid=use_grid, n_slabs=n_slabs)
+                       use_grid=use_grid, n_slabs=n_slabs,
+                       use_megakernel=True,
+                       mega_block=64 if use_grid else 0)
     if use_grid:
         from ..accel import prepare_grids
         scene = prepare_grids(scene, n_slabs)
@@ -147,8 +152,20 @@ def assign06(cols=512, rows=512, n_slabs=8):
     return render_direct, (scene, cfg), cfg
 
 
-def assign07(cols=512, rows=512, n_slabs=4):
-    """Full 3-D uniform grid DDA."""
+def assign07(cols=512, rows=512, n_slabs=4, scene_xml: str | None = None):
+    """Full 3-D uniform grid DDA. ``scene_xml`` swaps in a mesh-instancing
+    XML scene (e.g. cornell_teapot.xml — the asset class the reference's
+    grid exists for); the folded mesh grid then gets ``n_slabs`` while the
+    walls run brute, mirroring the reference's triangleTrace/meshTrace
+    dispatch split (code.js:1293-1303)."""
+    if scene_xml is not None:
+        from ..accel import prepare_grids
+        from ..io.scene_xml import load_scene
+        scene = prepare_grids(load_scene(scene_xml, cols, rows), n_slabs)
+        cfg = RenderConfig(width=cols, height=rows, spp=1, bounces=0,
+                           use_grid=True, n_slabs=n_slabs,
+                           use_megakernel=True, mega_block=64)
+        return render_direct, (scene, cfg), cfg
     scene, cfg = _mesh_scene(cols, rows, use_grid=True, n_slabs=n_slabs)
     return render_direct, (scene, cfg), cfg
 

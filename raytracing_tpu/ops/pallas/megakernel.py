@@ -84,6 +84,36 @@ def _loop_objects(n: int, body, init):
         return c
     return jax.lax.fori_loop(0, n, body, init)
 
+
+def _loop_cells(grid_n: tuple, step):
+    """Grid-cell iteration for the in-kernel uniform-grid mode. Small
+    grids unroll with STATIC cell indices (static SMEM offset reads, cell
+    decode folded at trace time); larger ones run a fori_loop with scalar
+    div/mod decode inside ``_cell_window``."""
+    n_cells = grid_n[0] * grid_n[1] * grid_n[2]
+    if n_cells <= UNROLL_OBJECTS:
+        for ci in range(n_cells):
+            step(ci, 0)
+        return
+    jax.lax.fori_loop(0, n_cells, step, 0)
+
+
+def _slab6(lo0, lo1, lo2, hi0, hi1, hi2, ox, oy, oz, invdx, invdy, invdz):
+    """Slab [near, far] of an AABB (6 scalars) along each ray."""
+    t0x = (lo0 - ox) * invdx
+    t1x = (hi0 - ox) * invdx
+    t0y = (lo1 - oy) * invdy
+    t1y = (hi1 - oy) * invdy
+    t0z = (lo2 - oz) * invdz
+    t1z = (hi2 - oz) * invdz
+    near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                   jnp.minimum(t0y, t1y)),
+                       jnp.minimum(t0z, t1z))
+    far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                  jnp.maximum(t0y, t1y)),
+                      jnp.maximum(t0z, t1z))
+    return near, far
+
 # scalar-parameter vector layout (SMEM f32)
 _PAR = dict(eye=0, u=3, v=6, w=9, film_w=12, film_h=13, cols=14, rows=15,
             focal=16, lens_r=17, pmin=18, pmax=21, eps=24, ambient=25)
@@ -177,14 +207,27 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                         use_u: bool, seed: int, mode: str = "path",
                         russian_roulette: bool = False,
                         rr_start_depth: int = 0,
-                        stream_tri: bool = False, n_chunks: int = 0):
+                        stream_tri: bool = False, n_chunks: int = 0,
+                        grid_tri: bool = False,
+                        grid_n: tuple = (1, 1, 1), grid_start: int = 0,
+                        block: int = 0):
     rest = list(rest)
+    if grid_tri:
+        # uniform-grid CSR tables (SMEM): offsets (C+1,), item ids (NI,),
+        # geometry params [pmin xyz, cell width xyz], tight per-cell AABBs
+        # (C, 6) in front-to-back visit order (accel.grid.mega_order_grid)
+        goff = rest.pop(0)
+        gitems = rest.pop(0)
+        gpar = rest.pop(0)
+        gb = rest.pop(0)
     u_ref = rest.pop(0) if use_u else None
     acc_in = rest[0:3]
     acc_out = rest[3:6]
     if stream_tri:
         # scratch: SMEM chunk buffer + DMA sem + champion/occlusion state
         (smem_chunk, dma_sem, s_bt, s_bnx, s_bny, s_bnz, s_bm) = rest[6:13]
+    elif grid_tri:
+        (s_bt, s_bnx, s_bny, s_bnz, s_bm) = rest[6:11]
 
     shape = (SUBLANES, LANES)
     pid = pl.program_id(0)
@@ -209,8 +252,24 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
     pix = jnp.floor(ridf / sppf)
     samp = ridf - pix * sppf
     wf = jnp.float32(width)
-    rowf = jnp.floor(pix / wf)
-    colf = pix - rowf * wf
+    if block:
+        # blocked pixel layout: consecutive ray slots fill a block x block
+        # pixel square, so each (SUBLANES, LANES) tile covers a COMPACT
+        # screen region — tile-level culling (grid cells, stream chunks)
+        # then sees a narrow frustum instead of a full-width strip. The
+        # host unpermutes the accumulator (render/mega._unblock_image).
+        pbf = jnp.float32(block * block)
+        bprf = jnp.float32(width // block)
+        bidf = jnp.floor(pix / pbf)
+        w_in = pix - bidf * pbf
+        browf = jnp.floor(bidf / bprf)
+        bcolf = bidf - browf * bprf
+        wrowf = jnp.floor(w_in / jnp.float32(block))
+        rowf = browf * block + wrowf
+        colf = bcolf * block + (w_in - wrowf * block)
+    else:
+        rowf = jnp.floor(pix / wf)
+        colf = pix - rowf * wf
 
     def P(name, off=0):
         return par[_PAR[name] + off]
@@ -282,7 +341,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
     # afterward) — ~20% fewer VPU ops per triangle on the hot loop.
     # Streaming chunks interpolate inline (an O(n_tri) deferred pick pass
     # would defeat the culling).
-    defer_interp = n_tri > UNROLL_OBJECTS and not stream_tri
+    defer_interp = n_tri > UNROLL_OBJECTS and not stream_tri and not grid_tri
 
     def chunk_overlap(c, ox, oy, oz, invdx, invdy, invdz, lo, hi):
         """Does any ray's [lo, hi] window overlap chunk c's AABB? Vector
@@ -397,46 +456,52 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                     bbe, bga,
                     jnp.where(better, -1.0, bid))
 
-        def tri_body_smem(i, c):
-            """tri_body against the DMA'd SMEM chunk row (inline interp)."""
-            bt, bnx, bny, bnz, bm = c
-            ngx, ngy, ngz = smem_chunk[i, 0], smem_chunk[i, 1], smem_chunk[i, 2]
-            c1x, c1y, c1z = smem_chunk[i, 3], smem_chunk[i, 4], smem_chunk[i, 5]
-            c2x, c2y, c2z = smem_chunk[i, 6], smem_chunk[i, 7], smem_chunk[i, 8]
-            e1x, e1y, e1z = smem_chunk[i, 9], smem_chunk[i, 10], smem_chunk[i, 11]
-            e2x, e2y, e2z = smem_chunk[i, 12], smem_chunk[i, 13], smem_chunk[i, 14]
-            kk, mf, msk = smem_chunk[i, 15], smem_chunk[i, 16], smem_chunk[i, 17]
-            div = ngx * dx + ngy * dy + ngz * dz
-            side_ok = (div != 0.0) if two_sided else (div > 0.0)
-            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
-            beta = (e2x * xx + e2y * xy_ + e2z * xz_
-                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
-            gamma = ((c1x * dx + c1y * dy + c1z * dz)
-                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
-            t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
-            okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
-                & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
-                & (msk > 0.0) & alive
-            t = jnp.where(okh, t, inf2)
-            better = t < bt
-            alpha = 1.0 - beta - gamma
-            hnx = alpha * smem_chunk[i, 18] + beta * smem_chunk[i, 21] \
-                + gamma * smem_chunk[i, 24]
-            hny = alpha * smem_chunk[i, 19] + beta * smem_chunk[i, 22] \
-                + gamma * smem_chunk[i, 25]
-            hnz = alpha * smem_chunk[i, 20] + beta * smem_chunk[i, 23] \
-                + gamma * smem_chunk[i, 26]
-            hnx, hny, hnz = _normalize3(hnx, hny, hnz)
-            return (jnp.where(better, t, bt),
-                    jnp.where(better, hnx, bnx),
-                    jnp.where(better, hny, bny),
-                    jnp.where(better, hnz, bnz),
-                    jnp.where(better, mf, bm))
+        def make_tri_body5(tab):
+            """Inline-interp tri body over a scalar-indexed table ``tab``
+            (the DMA'd SMEM chunk, or the whole SMEM tri table with a
+            DYNAMIC grid-cell item index) with 5-tuple champion carry."""
+
+            def body(i, c):
+                bt, bnx, bny, bnz, bm = c
+                ngx, ngy, ngz = tab[i, 0], tab[i, 1], tab[i, 2]
+                c1x, c1y, c1z = tab[i, 3], tab[i, 4], tab[i, 5]
+                c2x, c2y, c2z = tab[i, 6], tab[i, 7], tab[i, 8]
+                e1x, e1y, e1z = tab[i, 9], tab[i, 10], tab[i, 11]
+                e2x, e2y, e2z = tab[i, 12], tab[i, 13], tab[i, 14]
+                kk, mf, msk = tab[i, 15], tab[i, 16], tab[i, 17]
+                div = ngx * dx + ngy * dy + ngz * dz
+                side_ok = (div != 0.0) if two_sided else (div > 0.0)
+                idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+                beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                        - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+                gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                         - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+                t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+                okh = side_ok & (beta >= 0.0) & (beta <= 1.0) \
+                    & (gamma >= 0.0) & (beta + gamma <= 1.0) \
+                    & (t >= mint) & (t <= maxt) & (msk > 0.0) & alive
+                t = jnp.where(okh, t, inf2)
+                better = t < bt
+                alpha = 1.0 - beta - gamma
+                hnx = alpha * tab[i, 18] + beta * tab[i, 21] \
+                    + gamma * tab[i, 24]
+                hny = alpha * tab[i, 19] + beta * tab[i, 22] \
+                    + gamma * tab[i, 25]
+                hnz = alpha * tab[i, 20] + beta * tab[i, 23] \
+                    + gamma * tab[i, 26]
+                hnx, hny, hnz = _normalize3(hnx, hny, hnz)
+                return (jnp.where(better, t, bt),
+                        jnp.where(better, hnx, bnx),
+                        jnp.where(better, hny, bny),
+                        jnp.where(better, hnz, bnz),
+                        jnp.where(better, mf, bm))
+
+            return body
 
         c = init
         if n_sph:
             c = _loop_objects(n_sph, sph_body, c)
-        if n_tri and not stream_tri:
+        if n_tri and not stream_tri and not grid_tri:
             c = _loop_objects(n_tri, tri_body, c)
         if n_tri and stream_tri:
             # tile-level chunk culling: champion state parks in VMEM
@@ -444,6 +509,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             # (pl.when over the scalar any-reduce)
             s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
             invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+            tri_body_smem = make_tri_body5(smem_chunk)
 
             def chunk_loop(ci, _):
                 bt_cur = s_bt[:]
@@ -462,6 +528,61 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
+            c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
+                 c[5], c[6], c[7])
+        if n_tri and grid_tri:
+            # uniform-grid closest hit at TILE granularity (the TPU-native
+            # DDA, ref sphereTrace/triangleTrace code.cl:675-935): scene
+            # triangles [0, grid_start) run the brute loop (the reference's
+            # triangleTrace vs per-mesh meshTrace dispatch split,
+            # code.js:1293-1303 — face-spanning walls would bin into
+            # O(n^2) cells each); gridded triangles are visited per cell:
+            # a vector slab test of every ray's live [mint, min(maxt,
+            # champion)] window against the cell AABB + a scalar any-reduce
+            # decides whether the tile visits the cell's CSR item list at
+            # all; visited items are DYNAMIC scalar reads from the SMEM
+            # triangle table. The whole grid is gated by ONE test against
+            # its overall AABB. Cell visit order is storage order —
+            # correctness does not depend on it (champion over binned items
+            # == brute force; duplicated hits idempotent, SURVEY §7 quirk
+            # 9); shrinking champion windows still cull back-of-scene cells.
+            tri_body_dyn = make_tri_body5(tri)
+            c5 = _loop_objects(grid_start, tri_body_dyn, c[0:5])
+            s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c5
+            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+            def cell_loop(ci, _):
+                lo_off = goff[ci]
+                hi_off = goff[ci + 1]
+                near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
+                                   gb[ci, 3], gb[ci, 4], gb[ci, 5],
+                                   ox, oy, oz, invdx, invdy, invdz)
+                hi = jnp.minimum(maxt, s_bt[:])
+                overlap = (jnp.maximum(near, mint) <= jnp.minimum(far, hi)) \
+                    & alive
+
+                @pl.when(jnp.any(overlap) & (lo_off < hi_off))
+                def _():
+                    carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:])
+                    carry = jax.lax.fori_loop(
+                        lo_off, hi_off,
+                        lambda j, cc: tri_body_dyn(gitems[j], cc), carry)
+                    s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = carry
+                return 0
+
+            gnear, gfar = _slab6(
+                gpar[0], gpar[1], gpar[2],
+                gpar[0] + float(grid_n[0]) * gpar[3],
+                gpar[1] + float(grid_n[1]) * gpar[4],
+                gpar[2] + float(grid_n[2]) * gpar[5],
+                ox, oy, oz, invdx, invdy, invdz)
+            ghit = (jnp.maximum(gnear, mint)
+                    <= jnp.minimum(gfar, jnp.minimum(maxt, s_bt[:]))) & alive
+
+            @pl.when(jnp.any(ghit))
+            def _():
+                _loop_cells(grid_n, cell_loop)
+
             c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
                  c[5], c[6], c[7])
         bt, bnx, bny, bnz, bm, bbe, bga, bid = c
@@ -542,34 +663,38 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 & (msk > 0.0) & alive
             return jnp.where(okh, 1.0, occ)
 
-        def tri_body_smem(i, occ):
-            ngx, ngy, ngz = smem_chunk[i, 0], smem_chunk[i, 1], smem_chunk[i, 2]
-            c1x, c1y, c1z = smem_chunk[i, 3], smem_chunk[i, 4], smem_chunk[i, 5]
-            c2x, c2y, c2z = smem_chunk[i, 6], smem_chunk[i, 7], smem_chunk[i, 8]
-            e1x, e1y, e1z = smem_chunk[i, 9], smem_chunk[i, 10], smem_chunk[i, 11]
-            e2x, e2y, e2z = smem_chunk[i, 12], smem_chunk[i, 13], smem_chunk[i, 14]
-            kk, msk = smem_chunk[i, 15], smem_chunk[i, 17]
-            div = ngx * dx + ngy * dy + ngz * dz
-            side_ok = (div != 0.0) if two_sided else (div > 0.0)
-            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
-            beta = (e2x * xx + e2y * xy_ + e2z * xz_
-                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
-            gamma = ((c1x * dx + c1y * dy + c1z * dz)
-                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
-            t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
-            okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
-                & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
-                & (msk > 0.0) & alive
-            return jnp.where(okh, 1.0, occ)
+        def make_tri_occ_body(tab):
+            def body(i, occ):
+                ngx, ngy, ngz = tab[i, 0], tab[i, 1], tab[i, 2]
+                c1x, c1y, c1z = tab[i, 3], tab[i, 4], tab[i, 5]
+                c2x, c2y, c2z = tab[i, 6], tab[i, 7], tab[i, 8]
+                e1x, e1y, e1z = tab[i, 9], tab[i, 10], tab[i, 11]
+                e2x, e2y, e2z = tab[i, 12], tab[i, 13], tab[i, 14]
+                kk, msk = tab[i, 15], tab[i, 17]
+                div = ngx * dx + ngy * dy + ngz * dz
+                side_ok = (div != 0.0) if two_sided else (div > 0.0)
+                idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+                beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                        - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+                gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                         - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+                t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+                okh = side_ok & (beta >= 0.0) & (beta <= 1.0) \
+                    & (gamma >= 0.0) & (beta + gamma <= 1.0) \
+                    & (t >= mint) & (t <= maxt) & (msk > 0.0) & alive
+                return jnp.where(okh, 1.0, occ)
+
+            return body
 
         occ = jnp.zeros(shape)
         if n_sph:
             occ = _loop_objects(n_sph, sph_body, occ)
-        if n_tri and not stream_tri:
+        if n_tri and not stream_tri and not grid_tri:
             occ = _loop_objects(n_tri, tri_body, occ)
         if n_tri and stream_tri:
             s_bt[:] = occ
             invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+            tri_body_smem = make_tri_occ_body(smem_chunk)
 
             def chunk_loop(ci, _):
                 free = s_bt[:] == 0.0      # not yet occluded
@@ -585,6 +710,46 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
+            occ = s_bt[:]
+        if n_tri and grid_tri:
+            # grid any-hit (ref *ShadowTrace code.cl:1073-1321): scene tris
+            # brute, gridded tris per cell; cells whose AABB no
+            # still-unoccluded ray's segment overlaps are skipped
+            tri_occ_dyn = make_tri_occ_body(tri)
+            occ = _loop_objects(grid_start, tri_occ_dyn, occ)
+            s_bt[:] = occ
+            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+            def cell_loop(ci, _):
+                lo_off = goff[ci]
+                hi_off = goff[ci + 1]
+                near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
+                                   gb[ci, 3], gb[ci, 4], gb[ci, 5],
+                                   ox, oy, oz, invdx, invdy, invdz)
+                free = s_bt[:] == 0.0
+                overlap = (jnp.maximum(near, mint) <= jnp.minimum(far, maxt)) \
+                    & alive & free
+
+                @pl.when(jnp.any(overlap) & (lo_off < hi_off))
+                def _():
+                    s_bt[:] = jax.lax.fori_loop(
+                        lo_off, hi_off,
+                        lambda j, oc: tri_occ_dyn(gitems[j], oc), s_bt[:])
+                return 0
+
+            gnear, gfar = _slab6(
+                gpar[0], gpar[1], gpar[2],
+                gpar[0] + float(grid_n[0]) * gpar[3],
+                gpar[1] + float(grid_n[1]) * gpar[4],
+                gpar[2] + float(grid_n[2]) * gpar[5],
+                ox, oy, oz, invdx, invdy, invdz)
+            ghit = (jnp.maximum(gnear, mint) <= jnp.minimum(gfar, maxt)) \
+                & alive & (s_bt[:] == 0.0)
+
+            @pl.when(jnp.any(ghit))
+            def _():
+                _loop_cells(grid_n, cell_loop)
+
             occ = s_bt[:]
         return occ > 0.0
 
@@ -799,7 +964,9 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                           mode: str = "path",
                           russian_roulette: bool = False,
                           rr_start_depth: int = 0,
-                          chunks: Array | None = None) -> Array:
+                          chunks: Array | None = None,
+                          grid: tuple | None = None,
+                          block: int = 0) -> Array:
     """One progressive pass over ``acc`` (R, 3) -> new (R, 3).
 
     par: (NPAR,) f32 scalars; ipar: (1,) i32 [pass_idx];
@@ -825,6 +992,9 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
         return t if t.shape[0] else jnp.zeros((1,) + t.shape[1:], t.dtype)
 
     stream_tri = chunks is not None and tri.shape[0] > 0
+    grid_tri = grid is not None and tri.shape[0] > 0
+    assert not (stream_tri and grid_tri), \
+        "triangle table is either chunk-streamed or grid-resident, not both"
     n_args = dict(n_rays=R, spp=spp, width=width, bounces=bounces,
                   n_sph=sph.shape[0], n_tri=tri.shape[0],
                   n_mat=mat.shape[0], n_lig=lig.shape[0],
@@ -834,7 +1004,13 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                   rr_start_depth=rr_start_depth,
                   stream_tri=stream_tri,
                   n_chunks=(tri.shape[0] // STREAM_CHUNK
-                            if stream_tri else 0))
+                            if stream_tri else 0),
+                  grid_tri=grid_tri,
+                  grid_n=(grid[3] if grid_tri else (1, 1, 1)),
+                  grid_start=(grid[4] if grid_tri else 0),
+                  block=block)
+    if block:
+        assert width % block == 0, "blocked layout: width % block != 0"
     if stream_tri:
         assert tri.shape[0] % STREAM_CHUNK == 0, \
             "streaming tri table must be padded to a chunk multiple"
@@ -854,10 +1030,21 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
     if chunks is None:
         chunks = jnp.zeros((1, 8), jnp.float32)
     tri_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri \
-        else table_spec(tri)
+        else (smem if grid_tri else table_spec(tri))
     in_specs = [smem, smem, table_spec(sph), tri_spec, smem,
                 table_spec(mat), table_spec(lig)]
     args = [ipar, par, sph, tri, chunks, mat, lig]
+    if grid_tri:
+        # CSR offsets + item ids + [pmin, cell width] + tight cell AABBs —
+        # all SMEM scalars
+        goff, gitems, gpar, gb = grid[0], grid[1], grid[2], grid[5]
+        assert tri.size <= SMEM_TABLE_MAX, \
+            "grid-mode triangle table must be SMEM-resident"
+        if gitems.shape[0] == 0:
+            gitems = jnp.zeros((1,), jnp.int32)
+        in_specs += [smem, smem, smem, smem]
+        args += [goff.astype(jnp.int32), gitems.astype(jnp.int32),
+                 gpar.astype(jnp.float32), gb.astype(jnp.float32)]
     if u_planes is not None:
         D2 = u_planes.shape[0]
         u3 = jnp.stack([_pad_plane(u_planes[j], P) for j in range(D2)])
@@ -874,6 +1061,9 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
         scratch_shapes = [
             pltpu.SMEM((STREAM_CHUNK, tri.shape[1]), jnp.float32),
             pltpu.SemaphoreType.DMA,
+        ]
+    if stream_tri or grid_tri:
+        scratch_shapes += [
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bt / occ
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bnx
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bny

@@ -123,25 +123,71 @@ def scene_tables(scene: Scene, cfg: RenderConfig
     return par, sph, tri, mat, lig
 
 
+def grid_tables(scene: Scene
+                ) -> tuple[Array, Array, Array, tuple, int, Array]:
+    """(goff, gitems, gpar, n, start, cell_bounds) for the megakernel's
+    grid mode, from the folded triangle grid (accel.prepare_grids +
+    mega_order_grid: front-to-back cell order, tight per-cell AABBs).
+    gpar = [pmin xyz, cell width xyz]; all tables are SMEM scalars in the
+    kernel. Triangles below ``start`` (scene tris/walls) run the kernel's
+    brute loop."""
+    g = scene.folded_tri_grid
+    nv = jnp.asarray(g.n, jnp.float32)
+    width = (g.pmax - g.pmin) / nv
+    width = jnp.where(width <= 0.0, 1e-30, width)
+    gpar = jnp.concatenate([g.pmin, width]).astype(jnp.float32)
+    return (g.cell_offsets, g.item_indices, gpar, g.n, g.start,
+            g.cell_bounds)
+
+
+def _effective_block(cfg: RenderConfig) -> int:
+    """cfg.mega_block when it tiles the film exactly, else 0 (row-major)."""
+    b = cfg.mega_block
+    if b and cfg.width % b == 0 and cfg.height % b == 0:
+        return b
+    return 0
+
+
+def _unblock_pixels(per_pix: Array, cfg: RenderConfig, block: int) -> Array:
+    """Gather slot-ordered per-pixel values (blocked layout) back to
+    row-major pixel order. Inverse of the kernel's block decode."""
+    H, W, B = cfg.height, cfg.width, block
+    p = jnp.arange(H * W, dtype=jnp.int32)
+    py = p // W
+    px = p - py * W
+    brow = py // B
+    bcol = px // B
+    bid = brow * (W // B) + bcol
+    w_in = (py - brow * B) * B + (px - bcol * B)
+    return per_pix[bid * (B * B) + w_in]
+
+
 def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
     """The megakernel covers the default brute-force path. Small scenes
     (<= UNROLL_OBJECTS per type) unroll with static SMEM table reads;
     larger triangle sets STREAM (Morton chunks + tile-level AABB culling +
     SMEM DMA — v5e 512x512 b5: house_of_parliament 9,144 tris at ~4x the
-    XLA stage pipeline). Russian roulette runs in-kernel (BASELINE.json
-    config 5). Sphere tables must still fit SMEM (~4.5k spheres); bigger
-    molecule scenes take the XLA pipeline.
+    XLA stage pipeline). ``cfg.use_grid`` scenes run the in-kernel
+    uniform-grid mode (tile-level cell culling over the folded CSR grid —
+    the TPU-native DDA) when the grid was prepared and the triangle table
+    fits SMEM; otherwise they take the XLA grid pipeline. Russian roulette
+    runs in-kernel (BASELINE.json config 5). Sphere tables must still fit
+    SMEM (~4.5k spheres); bigger molecule scenes take the XLA pipeline.
     With ``scene=None`` only the config is checked (build-time call sites)."""
-    ok = (not cfg.use_grid and not cfg.replicate_stale_poi
-          and cfg.total_rays < (1 << 24))
+    ok = (not cfg.replicate_stale_poi and cfg.total_rays < (1 << 24))
     if scene is None or not ok:
         return ok
     from ..render.stages import _all_triangles
+    tri_count = _all_triangles(scene).count
+    if cfg.use_grid:
+        # grid mode: SMEM-resident triangle table + prepared folded grid
+        if scene.folded_tri_grid is None or tri_count * 32 > MK.SMEM_TABLE_MAX:
+            return False
     # triangle tables of any size are covered: SMEM-resident up to the
     # budget, Morton-chunk STREAMING with tile-level AABB culling beyond it
     # (the large-scene production path since round 2)
     return (scene.spheres.count * 8 <= MK.SMEM_TABLE_MAX
-            and _all_triangles(scene).count <= (1 << 20))
+            and tri_count <= (1 << 20))
 
 
 def supported_diff(scene: Scene | None, cfg: RenderConfig) -> bool:
@@ -150,7 +196,7 @@ def supported_diff(scene: Scene | None, cfg: RenderConfig) -> bool:
     backward kernel AD-unrolls the object loops as values, so it is gated
     to the static-unroll budget (<= UNROLL_OBJECTS per type). Larger scenes
     train through the XLA stage pipeline."""
-    if not supported(scene, cfg):
+    if not supported(scene, cfg) or cfg.use_grid:
         return False
     if scene is None:
         return True
@@ -192,8 +238,10 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
             u_planes = jax.lax.dynamic_slice_in_dim(
                 u_planes, jnp.asarray(ray_offset, jnp.int32), local, axis=1)
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
-    chunks = None
-    if tri.shape[0] > MK.STREAM_MIN_TRIS:
+    chunks = grid = None
+    if cfg.use_grid:
+        grid = grid_tables(scene)
+    elif tri.shape[0] > MK.STREAM_MIN_TRIS:
         tri, chunks = tri_chunk_tables(scene, tri, _all_triangles(scene))
     ipar = jnp.stack([jnp.asarray(state["passes"], jnp.int32),
                       jnp.asarray(ray_offset, jnp.int32)])
@@ -216,7 +264,7 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
     else:
         acc = MK.pathtrace_pass_pallas(par, ipar, sph, tri, mat, lig,
                                        state["acc"], u_planes,
-                                       chunks=chunks, **kw)
+                                       chunks=chunks, grid=grid, **kw)
     return {"acc": acc, "key": state["key"], "passes": state["passes"] + 1}
 
 
@@ -242,9 +290,13 @@ def render_direct_mega(scene: Scene, cfg: RenderConfig,
     if key is None:
         key = rng.base_key(cfg.seed)
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
-    chunks = None
-    if tri.shape[0] > MK.STREAM_MIN_TRIS:
+    chunks = grid = None
+    if cfg.use_grid:
+        grid = grid_tables(scene)
+    elif tri.shape[0] > MK.STREAM_MIN_TRIS:
         tri, chunks = tri_chunk_tables(scene, tri, _all_triangles(scene))
+
+    blk = _effective_block(cfg)
 
     def one_pass(pass_idx, acc, up):
         ipar = jnp.stack([jnp.asarray(pass_idx, jnp.int32), jnp.int32(0)])
@@ -254,7 +306,7 @@ def render_direct_mega(scene: Scene, cfg: RenderConfig,
             two_sided=cfg.two_sided_triangles,
             normalize_emitter=cfg.normalize_emitter,
             seed=cfg.seed, interpret=interpret, mode="direct",
-            chunks=chunks)
+            chunks=chunks, grid=grid, block=blk)
 
     acc0 = jnp.zeros((cfg.total_rays, 3), jnp.float32)
     if n_passes == 1:
@@ -271,8 +323,10 @@ def render_direct_mega(scene: Scene, cfg: RenderConfig,
 
         acc = jax.lax.fori_loop(0, n_passes, body, acc0)
     n_lights = max(scene.lights.count, 1)
-    img = acc.reshape(cfg.height, cfg.width, cfg.spp, 3).mean(2) \
-        / (n_lights * n_passes)
+    per_pix = acc.reshape(cfg.height * cfg.width, cfg.spp, 3).mean(1)
+    if blk:
+        per_pix = _unblock_pixels(per_pix, cfg, blk)
+    img = per_pix.reshape(cfg.height, cfg.width, 3) / (n_lights * n_passes)
     return jnp.clip(img, 0.0, 1.0)
 
 

@@ -53,7 +53,13 @@ def _all_triangles(scene: Scene):
     already baked per-triangle at load. XLA CSEs the concat across the
     pass's 12 trace/occlusion sites."""
     from ..core.types import Triangles
-    parts = [scene.triangles] + [m.tris for m in scene.meshes]
+    # order: scene tris, small meshes, then LARGE meshes — so the
+    # megakernel's grid mode can cover the large-mesh suffix while
+    # everything before ``start`` runs its brute loop (the reference's
+    # per-mesh dispatch split; 64 = megakernel UNROLL_OBJECTS)
+    small = [m.tris for m in scene.meshes if m.tris.count <= 64]
+    large = [m.tris for m in scene.meshes if m.tris.count > 64]
+    parts = [scene.triangles] + small + large
     parts = [p for p in parts if p.count]
     if not parts:
         return scene.triangles

@@ -41,6 +41,9 @@ _SLOW = {
     "test_two_passes_accumulate", "test_rr_matches_xla_pipeline_same_draws",
     "test_rr_unbiased", "test_sharded_megakernel_matches_single_device",
     "test_direct_mode_matches_xla", "test_multi_pass_statistics_jitted",
+    "test_grid_mode_matches_xla_grid_and_brute",
+    "test_grid_mode_pathtracer_matches_xla",
+    "test_blocked_layout_matches_row_major",
     # differentiable megakernel comparisons
     "test_diff_grads_match_xla_direct_segment",
     "test_diff_grads_match_xla_bounced", "test_diff_grads_match_xla_rr",

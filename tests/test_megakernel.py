@@ -236,3 +236,74 @@ def test_multi_pass_statistics_jitted(small_scene):
     assert np.isfinite(a).all()
     # loose statistical agreement of the MC estimate
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.15)
+
+
+def _teapot_scene(cols=48, rows=36, n_slabs=4):
+    from raytracing_tpu.accel import prepare_grids
+    from raytracing_tpu.io.scene_xml import load_scene
+    scene = load_scene("/root/reference/Assign10-Path_Tracing/scenes/"
+                       "cornell_teapot.xml", cols, rows)
+    return prepare_grids(scene, n_slabs)
+
+
+def test_grid_mode_matches_xla_grid_and_brute():
+    """In-kernel uniform-grid mode (tile-level cell culling, per-mesh
+    dispatch split, front-to-back CSR + tight cell bounds) vs (a) the XLA
+    grid pipeline and (b) the brute/streaming megakernel, identical draws
+    — grid == brute (hits idempotent, SURVEY §7 quirk 9)."""
+    import dataclasses
+
+    from raytracing_tpu.render.direct import render_direct
+    scene = _teapot_scene()
+    cfg_g = RenderConfig(width=48, height=36, spp=1, bounces=0,
+                         use_grid=True, n_slabs=4, use_megakernel=True)
+    assert supported(scene, cfg_g)
+    cfg_x = dataclasses.replace(cfg_g, use_megakernel=False)
+    cfg_b = dataclasses.replace(cfg_g, use_grid=False)
+    img_g = np.asarray(render_direct(scene, cfg_g))
+    img_x = np.asarray(render_direct(scene, cfg_x))
+    img_b = np.asarray(render_direct(scene, cfg_b))
+    np.testing.assert_allclose(img_g, img_x, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(img_g, img_b, rtol=2e-4, atol=2e-4)
+
+
+def test_grid_mode_pathtracer_matches_xla(small_scene):
+    """Grid mode through the full path-tracing schedule (bounces) vs the
+    XLA pipeline with identical draws — cornell has no meshes, so the
+    folded grid covers the scene triangles (start=0)."""
+    from raytracing_tpu.accel import prepare_grids
+    scene = prepare_grids(small_scene, 2)
+    cfg = RenderConfig(width=64, height=48, spp=1, bounces=2,
+                       use_grid=True, n_slabs=2, use_megakernel=True)
+    assert supported(scene, cfg)
+    ref = _run_xla(scene, cfg)
+    got = _run_mega_verify(scene, cfg)
+    np.testing.assert_allclose(np.asarray(got["acc"]),
+                               np.asarray(ref["acc"]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_blocked_layout_matches_row_major():
+    """mega_block pixel tiling: with draws permuted to follow the
+    slot->pixel map, the unblocked image must equal row-major EXACTLY."""
+    import dataclasses
+
+    from raytracing_tpu.core import rng
+    from raytracing_tpu.render.mega import (render_direct_mega,
+                                            u_planes_for_direct)
+    W = H = 8
+    B = 4
+    scene = _teapot_scene(W, H)
+    cfg0 = RenderConfig(width=W, height=H, spp=1, bounces=0, use_grid=True,
+                        n_slabs=4, use_megakernel=True, mega_block=0)
+    cfgB = dataclasses.replace(cfg0, mega_block=B)
+    key = rng.base_key(cfg0.seed)
+    up_row = u_planes_for_direct(key, cfg0, scene.lights.count)
+    s = np.arange(W * H)
+    bid, w_in = s // (B * B), s % (B * B)
+    brow, bcol = bid // (W // B), bid % (W // B)
+    pix_of_slot = (brow * B + w_in // B) * W + (bcol * B + w_in % B)
+    up_blk = jnp.asarray(np.asarray(up_row)[:, pix_of_slot])
+    img0 = np.asarray(render_direct_mega(scene, cfg0, u_planes=up_row))
+    imgB = np.asarray(render_direct_mega(scene, cfgB, u_planes=up_blk))
+    np.testing.assert_array_equal(img0, imgB)
