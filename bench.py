@@ -50,9 +50,14 @@ def main() -> None:
         or os.environ.get("BENCH_FULL", "0") == "1"
     # grads wrt geometry+albedo only (the BASELINE.json metric) — skips the
     # camera/light transpose work in the backward megakernel
+    # blocked pixel layout pays when tile-level culling exists (streamed /
+    # gridded triangle sets); default it on for the mesh scenes
+    block = int(os.environ.get(
+        "BENCH_BLOCK", "64" if scene_name in ("house", "teapot") else "0"))
     cfg = RenderConfig(width=width, height=height, spp=1, bounces=bounces,
                        use_megakernel=use_mega, russian_roulette=rr,
-                       rr_start_depth=2, mega_grad_wrt=("sph", "mat"))
+                       rr_start_depth=2, mega_grad_wrt=("sph", "mat"),
+                       mega_block=block)
     if scene_name == "spheres":
         scene = sphere_field(int(os.environ.get("BENCH_NSPHERES", "1024")),
                              cols=width, rows=height)

@@ -148,6 +148,37 @@ def _effective_block(cfg: RenderConfig) -> int:
     return 0
 
 
+def _ray_perms(cfg: RenderConfig, block: int) -> tuple[Array, Array]:
+    """(slot_to_row, row_to_slot) ray-index maps between the kernel's
+    blocked slot order and row-major ray order (spp-aware). ``acc`` stays
+    row-major as the package-wide invariant; render_pass_mega gathers
+    through these around the kernel call."""
+    H, W, B, spp = cfg.height, cfg.width, block, cfg.spp
+    s = jnp.arange(H * W, dtype=jnp.int32)
+    # pixel shown by slot s (the kernel's block decode)
+    bid = s // (B * B)
+    w_in = s - bid * (B * B)
+    brow = bid // (W // B)
+    bcol = bid - brow * (W // B)
+    py = brow * B + w_in // B
+    px = bcol * B + (w_in - (w_in // B) * B)
+    pix_of_slot = py * W + px
+    # slot showing pixel p (inverse formula)
+    p = s
+    py2 = p // W
+    px2 = p - py2 * W
+    brow2 = py2 // B
+    bcol2 = px2 // B
+    slot_of_pix = (brow2 * (W // B) + bcol2) * (B * B) \
+        + (py2 - brow2 * B) * B + (px2 - bcol2 * B)
+    if spp == 1:
+        return pix_of_slot, slot_of_pix
+    samp = jnp.arange(spp, dtype=jnp.int32)
+    s2r = (pix_of_slot[:, None] * spp + samp[None, :]).reshape(-1)
+    r2s = (slot_of_pix[:, None] * spp + samp[None, :]).reshape(-1)
+    return s2r, r2s
+
+
 def _unblock_pixels(per_pix: Array, cfg: RenderConfig, block: int) -> Array:
     """Gather slot-ordered per-pixel values (blocked layout) back to
     row-major pixel order. Inverse of the kernel's block decode."""
@@ -262,9 +293,25 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
                                   diff_wrt=cfg.mega_grad_wrt,
                                   bwd_sublanes=cfg.mega_bwd_sublanes, **kw)
     else:
+        # blocked pixel layout (forward-only, single-shard): acc stays
+        # row-major as the package invariant; gather to slot order around
+        # the kernel (~1% of a pass) so tile culling sees compact frustums
+        blk = _effective_block(cfg)
+        if blk and (state["acc"].shape[0] != cfg.total_rays
+                    or not isinstance(ray_offset, int) or ray_offset != 0):
+            blk = 0          # sharded acc: permutation would cross shards
+        acc_in = state["acc"]
+        if blk:
+            s2r, r2s = _ray_perms(cfg, blk)
+            acc_in = acc_in[s2r]
+            if u_planes is not None:
+                u_planes = u_planes[:, s2r]
         acc = MK.pathtrace_pass_pallas(par, ipar, sph, tri, mat, lig,
-                                       state["acc"], u_planes,
-                                       chunks=chunks, grid=grid, **kw)
+                                       acc_in, u_planes,
+                                       chunks=chunks, grid=grid,
+                                       block=blk, **kw)
+        if blk:
+            acc = acc[r2s]
     return {"acc": acc, "key": state["key"], "passes": state["passes"] + 1}
 
 
