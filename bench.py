@@ -133,8 +133,20 @@ def _config_bench(jax, config: int, width: int, height: int) -> None:
 
     kw = {}
     if config == 1:
-        render, args, cfg = A.assign01(width, height)
-        name, work = "fake_shade_sphere", width * height
+        # steady state = the reference's rotate ANIMATION (Assign02
+        # code.js:55-98): a full orbit as one jitted lax.scan — a single
+        # frame is one sub-ms dispatch and measures only launch overhead
+        from raytracing_tpu.render.simple import render_fake_shade_orbit
+        _, (cam, spheres, colors), cfg = A.assign01(width, height)
+        frames = int(os.environ.get("BENCH_PASSES", "16"))
+        bounds = spheres.bounds()
+
+        def render(cam, spheres, colors):
+            return render_fake_shade_orbit(cam, spheres, colors, bounds,
+                                           n_frames=frames)
+
+        args = (cam, spheres, colors)
+        name, work = "fake_shade_sphere", width * height * frames
     elif config == 2:
         render, args, cfg = A.assign08(width, height)
         # primary + per-light shadow segment; progressive accumulation

@@ -36,3 +36,22 @@ def render_fake_shade(cam: Camera, spheres: Spheres, colors: Array,
     rgb = onehot_fetch(colors[:, :3], ch.idx) * shade[:, None]
     img = jnp.where(ch.valid[:, None], rgb, 0.0)
     return img.reshape(cam.rows, cam.cols, 3)
+
+
+@partial(jax.jit, static_argnames=("n_frames", "obj_chunk"))
+def render_fake_shade_orbit(cam: Camera, spheres: Spheres, colors: Array,
+                            bounds, n_frames: int = 16,
+                            obj_chunk: int = 512) -> Array:
+    """(n_frames, rows, cols, 3): one full eye orbit around the scene —
+    the reference's rotate animation (Assign02 code.js:55-98 ``rotate``
+    driven per frame) as ONE jitted lax.scan, zero host dispatches
+    between frames. This is the steady-state form of the Assign01/02
+    pipeline (the single-frame render is one small dispatch and purely
+    launch-overhead-bound on a TPU)."""
+    def frame(_, angle):
+        c = cam.orbit(bounds, angle)
+        return None, render_fake_shade(c, spheres, colors, obj_chunk)
+
+    angles = jnp.linspace(0.0, 360.0, n_frames, endpoint=False)
+    _, frames = jax.lax.scan(frame, None, angles)
+    return frames

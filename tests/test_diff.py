@@ -265,3 +265,58 @@ def test_soft_direct_converges_to_hard():
         l1.append(np.abs(soft - hard).mean())
     assert l1[0] > l1[1] > l1[2]
     assert l1[2] < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Soft PATH TRACER (full Assign10 schedule — silhouettes included)
+# ---------------------------------------------------------------------------
+
+def _soft_pt_setup(cols=32, rows=24, bounces=1):
+    from raytracing_tpu.diff.soft import render_pathtrace_soft
+    from raytracing_tpu.models.scenes import cornell_box
+    scene = cornell_box(cols=cols, rows=rows)
+    cfg = RenderConfig(width=cols, height=rows, spp=1, bounces=bounces)
+    return scene, cfg, render_pathtrace_soft
+
+
+def test_soft_pathtracer_converges_to_hard():
+    """bandwidth, tau -> 0: the soft path tracer's accumulator approaches
+    the hard pipeline's with IDENTICAL draws (same pass_key slot layout);
+    residual is confined to edge pixels."""
+    from raytracing_tpu.render import pathtracer
+    scene, cfg, render_soft = _soft_pt_setup()
+    soft = np.asarray(render_soft(scene, cfg, bandwidth=2e-4, tau=2e-4))
+    st = pathtracer.init_state(cfg)
+    hard = np.asarray(pathtracer._render_pass(scene, st, cfg)["acc"]) \
+        .reshape(cfg.height, cfg.width, 3)
+    d = np.abs(soft - hard)
+    assert d.mean() < 2e-3
+    assert (d < 1e-2).mean() > 0.98
+
+
+def test_soft_pathtracer_fd_allclose_sphere_center_no_mask():
+    """FD vs AD of a FULL-IMAGE loss (no interior masking — silhouette
+    pixels included) through the complete path-tracing schedule: emitter
+    hits, NEE soft shadows, one cosine bounce. eps must sit below the
+    tangent-frame flip scale (FD at coarser steps straddles that
+    genuine discontinuity of the estimator; AD matches the eps->0 limit)."""
+    scene, cfg, render_soft = _soft_pt_setup()
+
+    def loss(c):
+        sc = dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres, center=c))
+        return jnp.mean(render_soft(sc, cfg, bandwidth=1e-2, tau=1e-2))
+
+    g = np.asarray(jax.grad(loss)(scene.spheres.center))
+    assert np.isfinite(g).all()
+    c0 = np.asarray(scene.spheres.center)
+    eps = 1e-4
+    for i in range(c0.shape[0]):
+        for j in range(3):
+            e = np.zeros_like(c0)
+            e[i, j] = eps
+            fd = float((loss(jnp.asarray(c0 + e))
+                        - loss(jnp.asarray(c0 - e))) / (2 * eps))
+            assert abs(g[i, j] - fd) < 2e-3 + 5e-2 * abs(fd), \
+                (i, j, g[i, j], fd)
+    assert np.abs(g).max() > 1e-3       # silhouette terms present

@@ -136,3 +136,22 @@ def test_emitter_visible():
     top_center = img[:6, 12:20]
     rest = img[12:]
     assert top_center.max() > rest.mean()
+
+
+def test_fake_shade_orbit_frames():
+    """Orbit animation (Assign02 rotate analog) as one jitted scan: frames
+    are finite, correctly shaped, and actually differ (the camera moves)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracing_tpu.core.types import Camera, make_spheres
+    from raytracing_tpu.render.simple import render_fake_shade_orbit
+
+    spheres = make_spheres([[0.0, 0.0, 0.0], [0.7, 0.2, 0.0]], [0.5, 0.2])
+    colors = jnp.ones((2, 4))
+    cam = Camera.look_at([0, 0, 2], [0, 0, 0], [0, 1, 0], 60.0, 32, 24)
+    frames = np.asarray(render_fake_shade_orbit(
+        cam, spheres, colors, spheres.bounds(), n_frames=4))
+    assert frames.shape == (4, 24, 32, 3)
+    assert np.isfinite(frames).all()
+    assert np.abs(frames[0] - frames[2]).max() > 1e-3
