@@ -517,10 +517,18 @@ def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
                                bounces=bounces, rr=russian_roulette,
                                mode=mode)
     if not use_u and S_B != SUBLANES:
+        # pick this backward tile's row window of the forward's (SUBLANES,
+        # LANES) planes. Branch-free masked select over the (static) ratio
+        # — Mosaic has no dynamic_slice lowering for register values.
         q = pid % (SUBLANES // S_B)
-        row0 = q * S_B
-        pairs = [tuple(jax.lax.dynamic_slice(u, (row0, 0), (S_B, LANES))
-                       for u in p) for p in pairs]
+
+        def pick(u):
+            out = jnp.zeros((S_B, LANES), u.dtype)
+            for r in range(SUBLANES // S_B):
+                out = jnp.where(q == r, u[r * S_B:(r + 1) * S_B, :], out)
+            return out
+
+        pairs = [tuple(pick(u) for u in p) for p in pairs]
 
     rid = ((pid * S_B
             + jax.lax.broadcasted_iota(jnp.int32, shape, 0)) * LANES
