@@ -210,7 +210,8 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                         stream_tri: bool = False, n_chunks: int = 0,
                         grid_tri: bool = False,
                         grid_n: tuple = (1, 1, 1), grid_start: int = 0,
-                        block: int = 0):
+                        block: int = 0,
+                        stream_sph: bool = False, n_sph_chunks: int = 0):
     rest = list(rest)
     if grid_tri:
         # uniform-grid CSR tables (SMEM): offsets (C+1,), item ids (NI,),
@@ -220,14 +221,20 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
         gitems = rest.pop(0)
         gpar = rest.pop(0)
         gb = rest.pop(0)
+    if stream_sph:
+        schk = rest.pop(0)           # per-sphere-chunk AABBs (nc, 8) SMEM
     u_ref = rest.pop(0) if use_u else None
     acc_in = rest[0:3]
     acc_out = rest[3:6]
+    scratch = rest[6:]
     if stream_tri:
-        # scratch: SMEM chunk buffer + DMA sem + champion/occlusion state
-        (smem_chunk, dma_sem, s_bt, s_bnx, s_bny, s_bnz, s_bm) = rest[6:13]
-    elif grid_tri:
-        (s_bt, s_bnx, s_bny, s_bnz, s_bm) = rest[6:11]
+        smem_chunk = scratch.pop(0)  # SMEM triangle chunk buffer
+    if stream_sph:
+        smem_sph = scratch.pop(0)    # SMEM sphere chunk buffer
+    if stream_tri or stream_sph:
+        dma_sem = scratch.pop(0)
+    if stream_tri or stream_sph or grid_tri:
+        (s_bt, s_bnx, s_bny, s_bnz, s_bm) = scratch[0:5]
 
     shape = (SUBLANES, LANES)
     pid = pl.program_id(0)
@@ -343,17 +350,18 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
     # would defeat the culling).
     defer_interp = n_tri > UNROLL_OBJECTS and not stream_tri and not grid_tri
 
-    def chunk_overlap(c, ox, oy, oz, invdx, invdy, invdz, lo, hi):
-        """Does any ray's [lo, hi] window overlap chunk c's AABB? Vector
-        slab test against SMEM scalar bounds + scalar any-reduce — the
-        tile-level culling test (grid analog; ~30 VPU ops/ray/chunk vs
-        ~45*STREAM_CHUNK for the chunk's triangles)."""
-        t0x = (chk[c, 0] - ox) * invdx
-        t1x = (chk[c, 3] - ox) * invdx
-        t0y = (chk[c, 1] - oy) * invdy
-        t1y = (chk[c, 4] - oy) * invdy
-        t0z = (chk[c, 2] - oz) * invdz
-        t1z = (chk[c, 5] - oz) * invdz
+    def chunk_overlap(tab, c, ox, oy, oz, invdx, invdy, invdz, lo, hi):
+        """Does any ray's [lo, hi] window overlap chunk c's AABB (row c of
+        ``tab``: [pmin xyz, pmax xyz, ...])? Vector slab test against SMEM
+        scalar bounds + scalar any-reduce — the tile-level culling test
+        (grid analog; ~30 VPU ops/ray/chunk vs ~45*STREAM_CHUNK for the
+        chunk's objects)."""
+        t0x = (tab[c, 0] - ox) * invdx
+        t1x = (tab[c, 3] - ox) * invdx
+        t0y = (tab[c, 1] - oy) * invdy
+        t1y = (tab[c, 4] - oy) * invdy
+        t0z = (tab[c, 2] - oz) * invdz
+        t1z = (tab[c, 5] - oz) * invdz
         near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                        jnp.minimum(t0y, t1y)),
                            jnp.minimum(t0z, t1z))
@@ -369,6 +377,13 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
         cp = pltpu.make_async_copy(
             tri.at[pl.ds(c * STREAM_CHUNK, STREAM_CHUNK), :],
             smem_chunk, dma_sem)
+        cp.start()
+        cp.wait()
+
+    def fetch_sph_chunk(c):
+        cp = pltpu.make_async_copy(
+            sph.at[pl.ds(c * STREAM_CHUNK, STREAM_CHUNK), :],
+            smem_sph, dma_sem)
         cp.start()
         cp.wait()
 
@@ -498,9 +513,70 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
 
             return body
 
+        def make_sph_body5(tab):
+            """Sphere champion body over a scalar-indexed table with
+            5-tuple carry (streamed SMEM chunk rows)."""
+
+            def body(i, c):
+                bt, bnx, bny, bnz, bm = c
+                scx, scy, scz = tab[i, 0], tab[i, 1], tab[i, 2]
+                r, mf, msk = tab[i, 3], tab[i, 4], tab[i, 5]
+                mx = ox - scx
+                my = oy - scy
+                mz = oz - scz
+                b = 2.0 * (mx * dx + my * dy + mz * dz)
+                cq = mx * mx + my * my + mz * mz - r * r
+                dis = b * b - 4.0 * a * cq
+                sq = jnp.sqrt(jnp.maximum(dis, 0.0))
+                t0 = (-b - sq) * inv2a
+                t1 = (-b + sq) * inv2a
+                tmn = jnp.minimum(t0, t1)
+                tmx = jnp.maximum(t0, t1)
+                t = jnp.where((tmn >= mint) & (tmn <= maxt), tmn,
+                              jnp.where((tmx >= mint) & (tmx <= maxt),
+                                        tmx, inf2))
+                t = jnp.where((dis >= 0.0) & (msk > 0.0) & alive, t, inf2)
+                better = t < bt
+                ts = jnp.where(better, t, 0.0)
+                hnx, hny, hnz = _normalize3(ox + ts * dx - scx,
+                                            oy + ts * dy - scy,
+                                            oz + ts * dz - scz)
+                return (jnp.where(better, t, bt),
+                        jnp.where(better, hnx, bnx),
+                        jnp.where(better, hny, bny),
+                        jnp.where(better, hnz, bnz),
+                        jnp.where(better, mf, bm))
+
+            return body
+
         c = init
-        if n_sph:
+        if n_sph and not stream_sph:
             c = _loop_objects(n_sph, sph_body, c)
+        if n_sph and stream_sph:
+            # streamed spheres (big molecules): Morton chunks + per-chunk
+            # AABB culling, same scheme as triangle streaming
+            s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
+            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+            sph_body_smem = make_sph_body5(smem_sph)
+
+            def sph_chunk_loop(ci, _):
+                hi = jnp.minimum(maxt, s_bt[:])
+                overlap = chunk_overlap(schk, ci, ox, oy, oz,
+                                        invdx, invdy, invdz, mint, hi)
+                overlap = overlap & alive
+
+                @pl.when(jnp.any(overlap))
+                def _():
+                    fetch_sph_chunk(ci)
+                    carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:])
+                    carry = jax.lax.fori_loop(0, STREAM_CHUNK,
+                                              sph_body_smem, carry)
+                    s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = carry
+                return 0
+
+            jax.lax.fori_loop(0, n_sph_chunks, sph_chunk_loop, 0)
+            c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
+                 c[5], c[6], c[7])
         if n_tri and not stream_tri and not grid_tri:
             c = _loop_objects(n_tri, tri_body, c)
         if n_tri and stream_tri:
@@ -514,7 +590,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             def chunk_loop(ci, _):
                 bt_cur = s_bt[:]
                 hi = jnp.minimum(maxt, bt_cur)
-                overlap = chunk_overlap(ci, ox, oy, oz,
+                overlap = chunk_overlap(chk, ci, ox, oy, oz,
                                         invdx, invdy, invdz, mint, hi)
                 overlap = overlap & alive
 
@@ -686,9 +762,51 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
 
             return body
 
+        def make_sph_occ_body(tab):
+            def body(i, occ):
+                scx, scy, scz = tab[i, 0], tab[i, 1], tab[i, 2]
+                r, msk = tab[i, 3], tab[i, 5]
+                mx = ox - scx
+                my = oy - scy
+                mz = oz - scz
+                b = 2.0 * (mx * dx + my * dy + mz * dz)
+                cq = mx * mx + my * my + mz * mz - r * r
+                dis = b * b - 4.0 * a * cq
+                sq = jnp.sqrt(jnp.maximum(dis, 0.0))
+                t0 = (-b - sq) * inv2a
+                t1 = (-b + sq) * inv2a
+                tmn = jnp.minimum(t0, t1)
+                tmx = jnp.maximum(t0, t1)
+                hit = ((tmn >= mint) & (tmn <= maxt)) | \
+                      ((tmx >= mint) & (tmx <= maxt))
+                hit = hit & (dis >= 0.0) & (msk > 0.0) & alive
+                return jnp.where(hit, 1.0, occ)
+
+            return body
+
         occ = jnp.zeros(shape)
-        if n_sph:
+        if n_sph and not stream_sph:
             occ = _loop_objects(n_sph, sph_body, occ)
+        if n_sph and stream_sph:
+            s_bt[:] = occ
+            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+            sph_occ_smem = make_sph_occ_body(smem_sph)
+
+            def sph_chunk_loop(ci, _):
+                free = s_bt[:] == 0.0
+                overlap = chunk_overlap(schk, ci, ox, oy, oz,
+                                        invdx, invdy, invdz, mint, maxt)
+                overlap = overlap & alive & free
+
+                @pl.when(jnp.any(overlap))
+                def _():
+                    fetch_sph_chunk(ci)
+                    s_bt[:] = jax.lax.fori_loop(0, STREAM_CHUNK,
+                                                sph_occ_smem, s_bt[:])
+                return 0
+
+            jax.lax.fori_loop(0, n_sph_chunks, sph_chunk_loop, 0)
+            occ = s_bt[:]
         if n_tri and not stream_tri and not grid_tri:
             occ = _loop_objects(n_tri, tri_body, occ)
         if n_tri and stream_tri:
@@ -698,7 +816,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
 
             def chunk_loop(ci, _):
                 free = s_bt[:] == 0.0      # not yet occluded
-                overlap = chunk_overlap(ci, ox, oy, oz,
+                overlap = chunk_overlap(chk, ci, ox, oy, oz,
                                         invdx, invdy, invdz, mint, maxt)
                 overlap = overlap & alive & free
 
@@ -966,7 +1084,8 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                           rr_start_depth: int = 0,
                           chunks: Array | None = None,
                           grid: tuple | None = None,
-                          block: int = 0) -> Array:
+                          block: int = 0,
+                          sph_chunks: Array | None = None) -> Array:
     """One progressive pass over ``acc`` (R, 3) -> new (R, 3).
 
     par: (NPAR,) f32 scalars; ipar: (1,) i32 [pass_idx];
@@ -993,6 +1112,7 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
 
     stream_tri = chunks is not None and tri.shape[0] > 0
     grid_tri = grid is not None and tri.shape[0] > 0
+    stream_sph = sph_chunks is not None and sph.shape[0] > 0
     assert not (stream_tri and grid_tri), \
         "triangle table is either chunk-streamed or grid-resident, not both"
     n_args = dict(n_rays=R, spp=spp, width=width, bounces=bounces,
@@ -1008,7 +1128,14 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                   grid_tri=grid_tri,
                   grid_n=(grid[3] if grid_tri else (1, 1, 1)),
                   grid_start=(grid[4] if grid_tri else 0),
-                  block=block)
+                  block=block,
+                  stream_sph=stream_sph,
+                  n_sph_chunks=(sph.shape[0] // STREAM_CHUNK
+                                if stream_sph else 0))
+    if stream_sph:
+        assert sph.shape[0] % STREAM_CHUNK == 0, \
+            "streaming sphere table must be padded to a chunk multiple"
+        assert sph_chunks.shape[0] == sph.shape[0] // STREAM_CHUNK
     if block:
         assert width % block == 0, "blocked layout: width % block != 0"
     if stream_tri:
@@ -1031,7 +1158,9 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
         chunks = jnp.zeros((1, 8), jnp.float32)
     tri_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri \
         else (smem if grid_tri else table_spec(tri))
-    in_specs = [smem, smem, table_spec(sph), tri_spec, smem,
+    sph_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream_sph \
+        else table_spec(sph)
+    in_specs = [smem, smem, sph_spec, tri_spec, smem,
                 table_spec(mat), table_spec(lig)]
     args = [ipar, par, sph, tri, chunks, mat, lig]
     if grid_tri:
@@ -1045,6 +1174,9 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
         in_specs += [smem, smem, smem, smem]
         args += [goff.astype(jnp.int32), gitems.astype(jnp.int32),
                  gpar.astype(jnp.float32), gb.astype(jnp.float32)]
+    if stream_sph:
+        in_specs.append(smem)
+        args.append(sph_chunks.astype(jnp.float32))
     if u_planes is not None:
         D2 = u_planes.shape[0]
         u3 = jnp.stack([_pad_plane(u_planes[j], P) for j in range(D2)])
@@ -1058,11 +1190,14 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
 
     scratch_shapes = []
     if stream_tri:
-        scratch_shapes = [
-            pltpu.SMEM((STREAM_CHUNK, tri.shape[1]), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ]
-    if stream_tri or grid_tri:
+        scratch_shapes.append(
+            pltpu.SMEM((STREAM_CHUNK, tri.shape[1]), jnp.float32))
+    if stream_sph:
+        scratch_shapes.append(
+            pltpu.SMEM((STREAM_CHUNK, sph.shape[1]), jnp.float32))
+    if stream_tri or stream_sph:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA)
+    if stream_tri or stream_sph or grid_tri:
         scratch_shapes += [
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bt / occ
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bnx

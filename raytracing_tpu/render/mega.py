@@ -76,6 +76,41 @@ def tri_chunk_tables(scene: Scene, tri: Array, tris) -> tuple[Array, Array]:
     return tri_s.astype(jnp.float32), chunks.astype(jnp.float32)
 
 
+def sph_chunk_tables(sph: Array, scene: Scene) -> tuple[Array, Array]:
+    """(sph_sorted, chunks) for the sphere streaming path (big molecules):
+    spheres reordered by Morton code of their centers, padded to a
+    STREAM_CHUNK multiple (mask=0 pad rows), plus per-chunk conservative
+    AABBs (nc, 8) [pmin xyz, pmax xyz, pad2] for the SMEM cull table.
+    The reference's sphere grid (splitSphereData, code.js:1554-1641)
+    serves the same molecules; here the binning is consumed per ray tile."""
+    S = sph.shape[0]
+    cen = sph[:, 0:3]
+    order = jnp.argsort(_morton_codes(cen, scene.bounds.pmin,
+                                      scene.bounds.pmax))
+    sph_s = sph[order]
+    # rows padded to the full 128-lane width: chunk DMA slices must be
+    # aligned to the (1, 128) memref tiling (same as tri_chunk_tables)
+    if sph_s.shape[1] < 128:
+        sph_s = jnp.concatenate(
+            [sph_s, jnp.zeros((S, 128 - sph_s.shape[1]), sph.dtype)], -1)
+    C = MK.STREAM_CHUNK
+    Sp = -(-S // C) * C
+    if Sp != S:
+        sph_s = jnp.concatenate(
+            [sph_s, jnp.zeros((Sp - S, sph_s.shape[1]), sph.dtype)])
+    nc = Sp // C
+    cen_s = sph_s[:, 0:3].reshape(nc, C, 3)
+    rad_s = sph_s[:, 3].reshape(nc, C)
+    msk_s = sph_s[:, 5].reshape(nc, C)
+    big = jnp.where(msk_s[..., None] > 0, 1.0, -1.0)
+    lo = jnp.min(jnp.where(big > 0, cen_s - rad_s[..., None],
+                           jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(big > 0, cen_s + rad_s[..., None],
+                           -jnp.inf), axis=1)
+    chunks = jnp.concatenate([lo, hi, jnp.zeros((nc, 2))], -1)
+    return sph_s.astype(jnp.float32), chunks.astype(jnp.float32)
+
+
 def scene_tables(scene: Scene, cfg: RenderConfig
                  ) -> tuple[Array, Array, Array, Array, Array]:
     """(par, sph, tri, mat, lig) packed for the kernel. Pure jnp — safe to
@@ -214,11 +249,11 @@ def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
         # grid mode: SMEM-resident triangle table + prepared folded grid
         if scene.folded_tri_grid is None or tri_count * 32 > MK.SMEM_TABLE_MAX:
             return False
-    # triangle tables of any size are covered: SMEM-resident up to the
+    # object tables of any size are covered: SMEM-resident up to the
     # budget, Morton-chunk STREAMING with tile-level AABB culling beyond it
-    # (the large-scene production path since round 2)
-    return (scene.spheres.count * 8 <= MK.SMEM_TABLE_MAX
-            and tri_count <= (1 << 20))
+    # (triangles AND spheres — big molecules like 3IZ4's 9,018 atoms
+    # stream; the large-scene production path since round 2)
+    return (scene.spheres.count <= (1 << 20) and tri_count <= (1 << 20))
 
 
 def supported_diff(scene: Scene | None, cfg: RenderConfig) -> bool:
@@ -269,11 +304,13 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
             u_planes = jax.lax.dynamic_slice_in_dim(
                 u_planes, jnp.asarray(ray_offset, jnp.int32), local, axis=1)
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
-    chunks = grid = None
+    chunks = grid = sphc = None
     if cfg.use_grid:
         grid = grid_tables(scene)
     elif tri.shape[0] > MK.STREAM_MIN_TRIS:
         tri, chunks = tri_chunk_tables(scene, tri, _all_triangles(scene))
+    if sph.size > MK.SMEM_TABLE_MAX:
+        sph, sphc = sph_chunk_tables(sph, scene)
     ipar = jnp.stack([jnp.asarray(state["passes"], jnp.int32),
                       jnp.asarray(ray_offset, jnp.int32)])
     kw = dict(spp=cfg.spp, width=cfg.width, bounces=cfg.bounces,
@@ -309,7 +346,7 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
         acc = MK.pathtrace_pass_pallas(par, ipar, sph, tri, mat, lig,
                                        acc_in, u_planes,
                                        chunks=chunks, grid=grid,
-                                       block=blk, **kw)
+                                       block=blk, sph_chunks=sphc, **kw)
         if blk:
             acc = acc[r2s]
     return {"acc": acc, "key": state["key"], "passes": state["passes"] + 1}
@@ -337,11 +374,13 @@ def render_direct_mega(scene: Scene, cfg: RenderConfig,
     if key is None:
         key = rng.base_key(cfg.seed)
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
-    chunks = grid = None
+    chunks = grid = sphc = None
     if cfg.use_grid:
         grid = grid_tables(scene)
     elif tri.shape[0] > MK.STREAM_MIN_TRIS:
         tri, chunks = tri_chunk_tables(scene, tri, _all_triangles(scene))
+    if sph.size > MK.SMEM_TABLE_MAX:
+        sph, sphc = sph_chunk_tables(sph, scene)
 
     blk = _effective_block(cfg)
 
@@ -353,7 +392,7 @@ def render_direct_mega(scene: Scene, cfg: RenderConfig,
             two_sided=cfg.two_sided_triangles,
             normalize_emitter=cfg.normalize_emitter,
             seed=cfg.seed, interpret=interpret, mode="direct",
-            chunks=chunks, grid=grid, block=blk)
+            chunks=chunks, grid=grid, block=blk, sph_chunks=sphc)
 
     acc0 = jnp.zeros((cfg.total_rays, 3), jnp.float32)
     if n_passes == 1:

@@ -44,6 +44,7 @@ _SLOW = {
     "test_grid_mode_matches_xla_grid_and_brute",
     "test_grid_mode_pathtracer_matches_xla",
     "test_blocked_layout_matches_row_major",
+    "test_sphere_streaming_matches_unstreamed",
     # differentiable megakernel comparisons
     "test_diff_grads_match_xla_direct_segment",
     "test_diff_grads_match_xla_bounced", "test_diff_grads_match_xla_rr",

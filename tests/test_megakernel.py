@@ -307,3 +307,27 @@ def test_blocked_layout_matches_row_major():
     img0 = np.asarray(render_direct_mega(scene, cfg0, u_planes=up_row))
     imgB = np.asarray(render_direct_mega(scene, cfgB, u_planes=up_blk))
     np.testing.assert_array_equal(img0, imgB)
+
+
+def test_sphere_streaming_matches_unstreamed(monkeypatch):
+    """Big-molecule sphere STREAMING (Morton chunks + per-chunk AABB
+    culling + SMEM DMA) must reproduce the unstreamed megakernel EXACTLY
+    (same math, same visit semantics; chunk culling is conservative).
+    Streaming is forced by shrinking the SMEM budget."""
+    from raytracing_tpu.models.scenes import sphere_field
+    from raytracing_tpu.ops.pallas import megakernel as MK
+    scene = sphere_field(300, cols=32, rows=24)
+    cfg = RenderConfig(width=32, height=24, spp=1, bounces=1)
+    st = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(st["key"], st["passes"], cfg, scene.lights.count)
+    ref = render_pass_mega(scene, st, cfg, u_planes=u, interpret=True)
+    monkeypatch.setattr(MK, "SMEM_TABLE_MAX", 64)
+    got = render_pass_mega(scene, st, cfg, u_planes=u, interpret=True)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(np.asarray(got["acc"]),
+                                  np.asarray(ref["acc"]))
+    # and the XLA pipeline agrees outside champion-tie noise (different fp
+    # association flips near-exact depth ties on a few silhouette rays)
+    xla = pathtracer._render_pass(scene, st, cfg)
+    d = np.abs(np.asarray(got["acc"]) - np.asarray(xla["acc"])).max(-1)
+    assert (d < 1e-3).mean() > 0.98
