@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable the whole-pass fused Pallas megakernel "
                         "(on by default for the path renderer; configs it "
                         "does not cover fall back automatically)")
+    p.add_argument("--block", type=int, default=0, metavar="B",
+                   help="megakernel blocked pixel layout: map ray tiles to "
+                        "BxB pixel blocks so tile-level culling (grid / "
+                        "streamed chunks) sees compact frustums (0 = "
+                        "row-major; try 64 for mesh scenes)")
     p.add_argument("--chunk-passes", type=int, default=8,
                    help="passes per jit call (progress granularity)")
     p.add_argument("-o", "--output", default="render.png")
@@ -108,7 +113,8 @@ def main(argv=None) -> int:
                        bounces=args.bounces, exposure=args.exposure,
                        seed=args.seed, use_grid=args.grid > 0,
                        n_slabs=max(args.grid, 1), use_pallas=args.pallas,
-                       use_megakernel=not args.no_megakernel)
+                       use_megakernel=not args.no_megakernel,
+                       mega_block=args.block)
     if args.grid > 0:
         from .accel import prepare_grids
         scene = prepare_grids(scene, args.grid)
