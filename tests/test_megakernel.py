@@ -78,15 +78,15 @@ def test_config_gating(small_scene):
     # RR runs in-kernel since round 2 (BASELINE.json config 5 as specified)
     assert supported(small_scene,
                      RenderConfig(width=8, height=8, russian_roulette=True))
-    # scenes whose object tables exceed the SMEM budget auto-route to the
-    # XLA pipeline; medium scenes (>64 objects, fori_loop over SMEM tables)
-    # stay supported
+    # object tables of ANY size are covered since sphere streaming: SMEM
+    # tables up to the budget, Morton-chunk streaming beyond it (big
+    # molecules included) — only absurd counts (>2^20) are rejected
     from raytracing_tpu.models.scenes import sphere_field
     from raytracing_tpu.ops.pallas import megakernel as MK
     assert supported(sphere_field(64, cols=8, rows=8), ok)
     assert supported(sphere_field(65, cols=8, rows=8), ok)
-    too_many = MK.SMEM_TABLE_MAX // 8 + 1
-    assert not supported(sphere_field(too_many, cols=8, rows=8), ok)
+    streams = MK.SMEM_TABLE_MAX // 8 + 1
+    assert supported(sphere_field(streams, cols=8, rows=8), ok)
 
 
 def test_rr_matches_xla_pipeline_same_draws(small_scene):
