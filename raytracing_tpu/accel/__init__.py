@@ -8,10 +8,25 @@ __all__ = ["Grid", "build_sphere_grid", "build_triangle_grid",
            "prepare_grids"]
 
 
-def prepare_grids(scene: Scene, n_slabs: int | tuple = 1) -> Scene:
+def auto_slabs(n_tris: int) -> int:
+    """Grid resolution from the measured megakernel cost model: the
+    in-kernel per-cell fixed cost (~265 cycles/cell-visit/tile, v5e)
+    balances against per-item work around ~40 items/cell, so
+    n ~ cbrt(T/40). Measured optima: teapot 1,012 tris -> 3 (predicted
+    2.9), cornell 32 -> 1-2 (predicted 0.9)."""
+    return max(1, round((max(n_tris, 1) / 40.0) ** (1.0 / 3.0)))
+
+
+def prepare_grids(scene: Scene, n_slabs: int | tuple | str = 1) -> Scene:
     """Build all acceleration grids host-side (the analog of preRender's
     splitSphereData/splitTriangleData calls, ref code.js:1784-1804;
-    per-mesh grids use each mesh's own nslabs, code.js:899-1045)."""
+    per-mesh grids use each mesh's own nslabs, code.js:899-1045).
+    ``n_slabs="auto"`` picks the scene resolution from the measured
+    megakernel cost model (auto_slabs)."""
+    if n_slabs == "auto":
+        total = scene.triangles.count \
+            + sum(m.tris.count for m in scene.meshes)
+        n_slabs = auto_slabs(total)
     sphere_grid = None
     triangle_grid = None
     if scene.spheres.count:

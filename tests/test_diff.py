@@ -320,3 +320,42 @@ def test_soft_pathtracer_fd_allclose_sphere_center_no_mask():
             assert abs(g[i, j] - fd) < 2e-3 + 5e-2 * abs(fd), \
                 (i, j, g[i, j], fd)
     assert np.abs(g).max() > 1e-3       # silhouette terms present
+
+
+def test_soft_pathtracer_fd_allclose_triangle_vertex_no_mask():
+    """FD vs AD of a full-image loss wrt a WALL triangle vertex through the
+    soft path tracer (bounce included) — edge pixels unmasked."""
+    scene, cfg, render_soft = _soft_pt_setup()
+    v0 = np.asarray(scene.triangles.v)
+
+    def loss(v):
+        sc = dataclasses.replace(
+            scene, triangles=dataclasses.replace(scene.triangles, v=v))
+        return jnp.mean(render_soft(sc, cfg, bandwidth=1e-2, tau=1e-2))
+
+    g = np.asarray(jax.grad(loss)(scene.triangles.v))
+    assert np.isfinite(g).all()
+    eps = 1e-4
+    checked = 0
+    # probe the largest-gradient components (where the signal lives)
+    flat = np.abs(g).ravel()
+    for idx in np.argsort(flat)[::-1][:6]:
+        i, j, k = np.unravel_index(idx, g.shape)
+        e = np.zeros_like(v0)
+        e[i, j, k] = eps
+        fd = float((loss(jnp.asarray(v0 + e))
+                    - loss(jnp.asarray(v0 - e))) / (2 * eps))
+        assert abs(g[i, j, k] - fd) < 3e-3 + 5e-2 * abs(fd), \
+            (int(i), int(j), int(k), g[i, j, k], fd)
+        checked += 1
+    assert checked == 6 and np.abs(g).max() > 1e-3
+
+
+def test_auto_slabs_resolution():
+    from raytracing_tpu.accel import auto_slabs, prepare_grids
+    from raytracing_tpu.models.scenes import cornell_box
+    assert auto_slabs(32) == 1
+    assert auto_slabs(1012) == 3
+    assert auto_slabs(5322) == 5
+    scene = prepare_grids(cornell_box(cols=8, rows=8), "auto")
+    assert scene.folded_tri_grid is not None
