@@ -18,7 +18,11 @@ BENCH_FULL=1 (config 5 EXACTLY as BASELINE.json specifies: 1024
 progressive samples/pixel with RR, one number for the whole render),
 BENCH_CONFIG=1..5 (the five BASELINE.json configs: 1 fake-shade sphere,
 2 direct lighting + shadows, 3 mesh+grid, 4 thin lens spp4,
-5 path tracing — default)."""
+5 path tracing — default), BENCH_BLOCK (megakernel blocked pixel layout,
+defaults to 64 for the mesh scenes), BENCH_NSLABS (config 3 grid
+resolution, default 3 per the measured cost model),
+BENCH_NSPHERES (molecule-scale sphere count for BENCH_SCENE=spheres;
+counts beyond the SMEM budget exercise sphere streaming)."""
 from __future__ import annotations
 
 import json
