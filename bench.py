@@ -163,10 +163,11 @@ def _config_bench(jax, config: int, width: int, height: int) -> None:
         # + 992-tri teapot mesh instance (uniform grid) — in-kernel grid
         # mode of the megakernel; steady-state progressive accumulation
         # like config 2 (all passes in one jit call)
+        ref_root = os.environ.get("RT_REFERENCE_DIR", "/root/reference")
         render, args, cfg = A.assign07(
             width, height, n_slabs=int(os.environ.get("BENCH_NSLABS", "3")),
-            scene_xml="/root/reference/Assign10-Path_Tracing/scenes/"
-                      "cornell_teapot.xml")
+            scene_xml=os.path.join(ref_root, "Assign10-Path_Tracing/scenes/"
+                                             "cornell_teapot.xml"))
         kw["n_passes"] = int(os.environ.get("BENCH_PASSES", "16"))
         name, work = "mesh_grid_dda", None
     elif config == 4:

@@ -22,7 +22,12 @@ def prepare_grids(scene: Scene, n_slabs: int | tuple | str = 1) -> Scene:
     splitSphereData/splitTriangleData calls, ref code.js:1784-1804;
     per-mesh grids use each mesh's own nslabs, code.js:899-1045).
     ``n_slabs="auto"`` picks the scene resolution from the measured
-    megakernel cost model (auto_slabs)."""
+    megakernel cost model (auto_slabs).
+
+    The folded megakernel grid bakes a front-to-back cell order for the
+    CURRENT camera eye (mega_order_grid) — re-run prepare_grids after
+    material camera motion or the early-exit culling degrades (results
+    stay correct; see mega_order_grid's docstring)."""
     if n_slabs == "auto":
         total = scene.triangles.count \
             + sum(m.tris.count for m in scene.meshes)

@@ -147,7 +147,13 @@ def mega_order_grid(grid: Grid, lo: np.ndarray, hi: np.ndarray,
     ``index_offset`` is added to the stored item indices (folded-array
     offset). Only the megakernel consumes the result — the XLA DDA
     (accel/traverse.py) addresses cells by computed id and must use the
-    plain build."""
+    plain build.
+
+    STALENESS: the front-to-back order is baked at build time for the
+    given ``eye``. Correctness is order-independent (grid == brute is
+    tested), but if the camera moves after prepare_grids (orbit animation,
+    camera training) the early-exit culling degrades to an arbitrary visit
+    order — re-run prepare_grids when the eye moves materially."""
     nx, ny, nz = grid.n
     ncells = nx * ny * nz
     pmin = np.asarray(grid.pmin)

@@ -327,7 +327,13 @@ def render_pathtrace_soft(scene: Scene, cfg: RenderConfig,
                 ln = scene.lights.normal[li]
                 den = d @ ln
                 num = (lp - o) @ ln
-                t_l = num / jnp.where(den == 0.0, 1.0, den)
+                # double-where side mask (same scheme as _soft_triangle_hits):
+                # near-zero den would make t_l astronomic and the division's
+                # backward (-num/den^2) overflow to inf, NaN-ing the
+                # cotangent even against the saturated sigmoids' ~0 grads
+                good = jnp.abs(den) > 1e-12
+                idiv = 1.0 / jnp.where(good, den, 1.0)
+                t_l = jnp.where(good, num * idiv, 1e6)
                 q = o + t_l[:, None] * d - lp
                 rad = scene.lights.radius[li]
                 on_disk = jax.nn.sigmoid(
@@ -335,7 +341,7 @@ def render_pathtrace_soft(scene: Scene, cfg: RenderConfig,
                 front = jax.nn.sigmoid(t_l / bandwidth)
                 before = cov * jax.nn.sigmoid((tbar - t_l) / bandwidth) \
                     + (1.0 - cov)
-                lw = on_disk * front * before * (den != 0.0)
+                lw = on_disk * front * before * good
                 acc = acc + (path_w * lw)[:, None] * irr_emit[li]
                 path_w = path_w * (1.0 - lw)
 

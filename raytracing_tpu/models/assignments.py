@@ -35,7 +35,7 @@ from ..render.pathtracer import init_state, image, render_passes
 from ..render.simple import render_fake_shade
 from .scenes import cornell_box
 
-REF_ROOT = "/root/reference"
+REF_ROOT = os.environ.get("RT_REFERENCE_DIR", "/root/reference")
 
 
 def _ref(path: str) -> str | None:

@@ -103,7 +103,8 @@ def big_mesh_scene(name: str = "house_of_parliament.json",
               "Assign06-1D_uniform_slab_acceleration",
               "Assign05-Bounding_Box", "Assign04-Triangle_Mesh",
               "Assign10-Path_Tracing"]:
-        p = f"/root/reference/{d}/tri/{name}"
+        from .assignments import REF_ROOT
+        p = f"{REF_ROOT}/{d}/tri/{name}"
         if os.path.exists(p):
             path = p
             break

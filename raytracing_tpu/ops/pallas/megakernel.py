@@ -87,9 +87,9 @@ def _loop_objects(n: int, body, init):
 
 def _loop_cells(grid_n: tuple, step):
     """Grid-cell iteration for the in-kernel uniform-grid mode. Small
-    grids unroll with STATIC cell indices (static SMEM offset reads, cell
-    decode folded at trace time); larger ones run a fori_loop with scalar
-    div/mod decode inside ``_cell_window``."""
+    grids unroll with STATIC cell indices (static SMEM offset/AABB reads);
+    larger ones run a fori_loop whose ``step`` body reads the per-cell CSR
+    window and AABB with dynamic SMEM indices."""
     n_cells = grid_n[0] * grid_n[1] * grid_n[2]
     if n_cells <= UNROLL_OBJECTS:
         for ci in range(n_cells):

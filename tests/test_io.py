@@ -12,7 +12,7 @@ from raytracing_tpu.io.pdb import parse_pdb, load_pdb
 from raytracing_tpu.io.png import tonemap_u8, write_png
 from raytracing_tpu.io.scene_xml import load_scene
 
-REF = "/root/reference"
+REF = os.environ.get("RT_REFERENCE_DIR", "/root/reference")
 needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
                                reason="reference not mounted")
 

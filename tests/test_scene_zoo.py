@@ -10,8 +10,9 @@ from raytracing_tpu import RenderConfig
 from raytracing_tpu.io.scene_xml import load_scene
 from raytracing_tpu.render import pathtracer
 
-SCENES = sorted(glob.glob(
-    "/root/reference/Assign10-Path_Tracing/scenes/*.xml"))
+SCENES = sorted(glob.glob(os.path.join(
+    os.environ.get("RT_REFERENCE_DIR", "/root/reference"),
+    "Assign10-Path_Tracing/scenes/*.xml")))
 
 pytestmark = pytest.mark.skipif(not SCENES, reason="reference not mounted")
 
