@@ -150,31 +150,108 @@ def sharded_render_passes(mesh: Mesh, cfg: RenderConfig, n_passes: int):
 # Differentiable training step (the BASELINE.json fwd+bwd metric)
 # ---------------------------------------------------------------------------
 
-def make_train_step(mesh: Mesh, cfg: RenderConfig):
-    """Inverse-rendering step: L2 image loss against a target, gradients wrt
-    (sphere centers, radii, materials). Rays sharded; params replicated ->
-    XLA inserts the grad psum over 'rays' in backward."""
+def apply_default_params(scene: Scene, params: dict) -> Scene:
+    """Default parameterization: {center, radius, materials} (any subset)
+    over the scene's spheres/materials — the BASELINE.json geometry+albedo
+    set. Any other inverse-rendering parameterization (triangle vertices,
+    camera, lights — all supported by the VJPs) is a custom
+    ``apply_params``."""
+    import dataclasses
+    spheres = scene.spheres
+    if "center" in params or "radius" in params:
+        spheres = dataclasses.replace(
+            spheres,
+            center=params.get("center", spheres.center),
+            radius=params.get("radius", spheres.radius))
+        scene = dataclasses.replace(scene, spheres=spheres)
+    if "materials" in params:
+        scene = dataclasses.replace(scene, materials=params["materials"])
+    return scene
+
+
+def make_train_step(mesh: Mesh, cfg: RenderConfig, *,
+                    loss_fn=None, apply_params=None):
+    """Inverse-rendering step over the device mesh.
+
+    ``apply_params(scene, params) -> Scene`` maps an arbitrary parameter
+    pytree onto the scene (default: {center, radius, materials});
+    ``loss_fn(img, target) -> scalar`` is the image loss (default: L2).
+    Rays are sharded over the mesh, params replicated.
+
+    Two execution paths:
+      * ``cfg.use_megakernel`` + scene within the diff-megakernel budget:
+        the progressive pass runs as a shard_map whose local body invokes
+        the fused custom-VJP megakernel (ops/pallas/megakernel_grad.py) on
+        this shard's ray slice; shard_map's transpose psums the parameter
+        cotangents over 'rays' automatically (replicated in_spec).
+      * otherwise the XLA stage pipeline under GSPMD (psum inserted by
+        jit-with-shardings).
+    """
     sh = _state_sharding(mesh)
     rep = NamedSharding(mesh, P())
+    if loss_fn is None:
+        loss_fn = lambda img, target: jnp.mean((img - target) ** 2)  # noqa: E731
+    if apply_params is None:
+        apply_params = apply_default_params
 
-    def loss_fn(params, scene: Scene, state: dict, target: Array):
-        import dataclasses
-        spheres = dataclasses.replace(scene.spheres,
-                                      center=params["center"],
-                                      radius=params["radius"])
-        scene = dataclasses.replace(scene, spheres=spheres,
-                                    materials=params["materials"])
-        new_state = pathtracer._render_pass(scene, state, cfg)
-        img = pathtracer.image(new_state, cfg)
-        return jnp.mean((img - target) ** 2), new_state
+    from ..render import mega
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    def make_step(render_pass):
+        def loss(params, scene: Scene, state: dict, target: Array):
+            sc = apply_params(scene, params)
+            new_state = render_pass(sc, state)
+            img = pathtracer.image(new_state, cfg)
+            return loss_fn(img, target), new_state
 
-    @partial(jax.jit,
-             in_shardings=(rep, None, sh, rep),
-             out_shardings=((rep, sh), rep))
+        grad_fn = jax.value_and_grad(loss, has_aux=True)
+
+        @partial(jax.jit,
+                 in_shardings=(rep, None, sh, rep),
+                 out_shardings=((rep, sh), rep))
+        def step(params, scene, state, target):
+            (l, new_state), grads = grad_fn(params, scene, state, target)
+            return (l, new_state), grads
+
+        return step
+
+    step_gspmd = make_step(
+        lambda scene, state: pathtracer._render_pass(scene, state, cfg))
+    if not (cfg.use_megakernel and mega.supported_diff(None, cfg)):
+        return step_gspmd
+
+    from jax import shard_map
+
+    n_shards = mesh.shape["rays"]
+    R = cfg.total_rays
+    local_r = -(-R // n_shards)
+    r_pad = local_r * n_shards
+
+    def local_pass(scene, state):
+        off = jax.lax.axis_index("rays") * local_r
+        return mega.render_pass_mega(scene, state, cfg, ray_offset=off)
+
+    spec_state = {"acc": P("rays", None), "key": P(), "passes": P()}
+    mega_pass = shard_map(local_pass, mesh=mesh,
+                          in_specs=(P(), spec_state),
+                          out_specs=spec_state, check_vma=False)
+
+    def mega_pass_padded(scene, state):
+        if r_pad != R:
+            acc = state["acc"]
+            pad = jnp.zeros((r_pad - R,) + acc.shape[1:], acc.dtype)
+            state = {**state, "acc": jnp.concatenate([acc, pad])}
+        out = mega_pass(scene, state)
+        if r_pad != R:
+            out = {**out, "acc": out["acc"][:R]}
+        return out
+
+    step_mega = make_step(mega_pass_padded)
+
     def step(params, scene, state, target):
-        (loss, new_state), grads = grad_fn(params, scene, state, target)
-        return (loss, new_state), grads
+        # scene-size check at call time: scenes beyond the diff-megakernel
+        # budget train through the GSPMD stage pipeline
+        if mega.supported_diff(scene, cfg):
+            return step_mega(params, scene, state, target)
+        return step_gspmd(params, scene, state, target)
 
     return step
