@@ -43,6 +43,21 @@ class RenderConfig:
                                        # unneeded transpose work
     mega_bwd_sublanes: int = 32        # backward kernel tile height (must
                                        # divide the forward's 32)
+    mega_edge_bandwidth: float = 0.0   # > 0: the megakernel VJP's backward
+                                       # differentiates the EDGE-AWARE soft
+                                       # program (sigmoid silhouette
+                                       # coverage + softmin depth + soft
+                                       # shadow transmittance) instead of
+                                       # the hard champion program —
+                                       # visibility gradients at
+                                       # silhouettes become real. Forward
+                                       # stays the hard fused kernel.
+                                       # Scene-unit silhouette width;
+                                       # ~1e-2 x scene scale is a good
+                                       # start (see diff/ docs).
+    mega_edge_tau: float = 0.0         # softmin depth temperature for the
+                                       # edge-aware backward (defaults to
+                                       # mega_edge_bandwidth when 0)
     mega_block: int = 0                # megakernel pixel-block side (e.g.
                                        # 64): ray tiles map to square pixel
                                        # blocks instead of row-major strips,

@@ -88,28 +88,12 @@ def _materialize_draws(u_ref, shape, *, spp, n_lig, bounces, rr, mode,
 # Value-based tile program (the forward math as a differentiable function)
 # ---------------------------------------------------------------------------
 
-def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
-                  spp: int, width: int, bounces: int,
-                  n_sph: int, n_tri: int, n_mat: int, n_lig: int,
-                  two_sided: bool, normalize_emitter: bool,
-                  russian_roulette: bool, rr_start_depth: int,
-                  mode: str):
-    """Accumulator DELTA for one ray tile as a pure function of the scene
-    tables. Same math, same order as megakernel._render_pass_kernel (which
-    cites the reference kernels line-by-line); differences are only
-    (1) tables are jnp values, (2) AD-safe double-where guards around
-    sqrt/divisions, (3) returns the delta instead of writing refs.
-
-    par_s: list of NPAR scalar values (so the VJP yields per-scalar
-    cotangents); pairs: list of (u0, u1) tiles consumed in order."""
+def _primary_rays(P, next_pair, ridf, in_range, *, spp: int, width: int):
+    """Thin-lens primary rays + scene-AABB clip, shared by the hard and
+    soft tile programs. Math identical to the forward kernel
+    (megakernel._render_pass_kernel film/lens/clip chain; ref getRay
+    code.cl:108-119, getThinLensRay 183-197, initTrace clip 495-501)."""
     shape = ridf.shape
-    draw_i = [0]
-
-    def next_pair():
-        p = pairs[draw_i[0]]
-        draw_i[0] += 1
-        return p
-
     sppf = jnp.float32(spp)
     pix = jnp.floor(ridf / sppf)
     samp = ridf - pix * sppf
@@ -117,17 +101,11 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
     rowf = jnp.floor(pix / wf)
     colf = pix - rowf * wf
 
-    def P(name, off=0):
-        return par_s[MK._PAR[name] + off]
-
     ex, ey, ez = P("eye"), P("eye", 1), P("eye", 2)
     ux, uy, uz = P("u"), P("u", 1), P("u", 2)
     vx, vy, vz = P("v"), P("v", 1), P("v", 2)
     wx, wy, wz = P("w"), P("w", 1), P("w", 2)
-    eps = P("eps")
 
-    # film point -> pinhole dir -> focal point (ref getRay code.cl:108-119,
-    # getFocalPoint code.cl:174-181)
     su = (-0.5 + (colf + 0.5) / P("cols")) * P("film_w")
     sv = (0.5 - (rowf + 0.5) / P("rows")) * P("film_h")
     cx = su * ux + sv * vx - wx
@@ -143,7 +121,6 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
     fpy = ey + t_f * py_
     fpz = ez + t_f * pz_
 
-    # thin lens (ref getThinLensRay code.cl:183-197)
     if spp > 1:
         k = int(round(spp ** 0.5))
         si = jnp.floor(samp / k)
@@ -159,7 +136,6 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
     oz = ez + lr * (dx_ * uz + dy_ * vz)
     dx, dy, dz = _normalize3(fpx - ox, fpy - oy, fpz - oz)
 
-    # clip to scene AABB (ref initTrace code.cl:495-501)
     def slab(p_lo, p_hi, o_, d_):
         sd = jnp.where(d_ == 0.0, 1e-30, d_)
         t0 = (p_lo - o_) / sd
@@ -174,9 +150,98 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
     ok = (tmin <= tmax) & in_range
     mint = jnp.where(ok, tmin, INF)
     maxt = jnp.where(ok, tmax, INF)
+    return ox, oy, oz, dx, dy, dz, mint, maxt, ok
+
+
+# object-loop chunking for the differentiable LARGE-table path: tables past
+# the unroll budget run a checkpointed chunked lax.scan — residuals are one
+# champion carry per chunk instead of per object, and the scan transpose
+# accumulates the per-row table cotangents. 128 matches the forward
+# streaming kernel's STREAM_CHUNK (chunk AABB tables line up 1:1).
+DIFF_CHUNK = 128
+
+
+def _loop_diff(table, n, step, carry, windows=None):
+    """Reverse-differentiable object loop over ``table[:n]`` rows.
+
+    Small tables unroll with static row reads (identical jaxpr to the
+    round-2 backward). Larger ones scan DIFF_CHUNK-row chunks under
+    jax.checkpoint; when ``windows=(chunk_aabbs, overlap_fn)`` is given,
+    each chunk is wrapped in ``lax.cond(overlap, scan, skip)`` so the
+    backward pays only for chunks the forward streaming kernel would have
+    fetched (same conservative tile-level culling; lax.cond's VJP replays
+    only the taken branch). Padding rows must be no-ops for ``step``
+    (mask column 0 — guaranteed by the streaming table builders)."""
+    if n <= MK.UNROLL_OBJECTS:
+        for i in range(n):
+            carry = step(table[i], carry)
+        return carry
+    C = DIFF_CHUNK
+    nch = -(-n // C)
+    F = table.shape[1]
+    tb = table[:n]
+    if nch * C != n:
+        tb = jnp.concatenate([tb, jnp.zeros((nch * C - n, F), table.dtype)])
+    tb = tb.reshape(nch, C, F)
+
+    @jax.checkpoint
+    def chunk_scan(carry, rows):
+        def inner(c, row):
+            return step(row, c), None
+        c, _ = jax.lax.scan(inner, carry, rows)
+        return c
+
+    if windows is None:
+        def outer(carry, rows):
+            return chunk_scan(carry, rows), None
+        carry, _ = jax.lax.scan(outer, carry, tb)
+        return carry
+
+    chunk_aabbs, overlap_fn = windows
+    for ci in range(nch):
+        hit = overlap_fn(chunk_aabbs[ci], carry)
+        carry = jax.lax.cond(hit, lambda c, r=tb[ci]: chunk_scan(c, r),
+                             lambda c: c, carry)
+    return carry
+
+
+def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
+                  spp: int, width: int, bounces: int,
+                  n_sph: int, n_tri: int, n_mat: int, n_lig: int,
+                  two_sided: bool, normalize_emitter: bool,
+                  russian_roulette: bool, rr_start_depth: int,
+                  mode: str, tri_chunks=None, sph_chunks=None):
+    """Accumulator DELTA for one ray tile as a pure function of the scene
+    tables. Same math, same order as megakernel._render_pass_kernel (which
+    cites the reference kernels line-by-line); differences are only
+    (1) tables are jnp values, (2) AD-safe double-where guards around
+    sqrt/divisions, (3) returns the delta instead of writing refs.
+
+    par_s: list of NPAR scalar values (so the VJP yields per-scalar
+    cotangents); pairs: list of (u0, u1) tiles consumed in order.
+    ``tri_chunks``/``sph_chunks``: per-DIFF_CHUNK AABB tables (nc, >=6) of
+    the Morton-sorted streamed tables (render/mega.tri_chunk_tables) —
+    enables chunk culling in the large-table backward."""
+    shape = ridf.shape
+    draw_i = [0]
+
+    def next_pair():
+        p = pairs[draw_i[0]]
+        draw_i[0] += 1
+        return p
+
+    def P(name, off=0):
+        return par_s[MK._PAR[name] + off]
+
+    eps = P("eps")
+    ox, oy, oz, dx, dy, dz, mint, maxt, _ = _primary_rays(
+        P, next_pair, ridf, in_range, spp=spp, width=width)
 
     inf2 = jnp.full(shape, INF)
     zero = jnp.zeros(shape)
+
+    def safe_inv(d_):
+        return 1.0 / jnp.where(d_ == 0.0, 1e-30, d_)
 
     def trace(ox, oy, oz, dx, dy, dz, mint, maxt):
         alive = mint != maxt
@@ -185,10 +250,24 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
         c = (inf2, zero, zero, zero, jnp.full(shape, -1.0))
 
-        for i in range(n_sph):
+        def chunk_overlap_trace(aabb, carry):
+            """Tile-level chunk culling: does any ray's live [mint,
+            min(maxt, champion)] window overlap the chunk AABB?
+            (megakernel.chunk_overlap semantics; stop-gradient — culling
+            is value-neutral, it only skips chunks that cannot hit)."""
+            bt = carry[0]
+            near, far = MK._slab6(aabb[0], aabb[1], aabb[2],
+                                  aabb[3], aabb[4], aabb[5],
+                                  ox, oy, oz, safe_inv(dx), safe_inv(dy),
+                                  safe_inv(dz))
+            hi = jnp.minimum(maxt, bt)
+            ov = (jnp.maximum(near, mint) <= jnp.minimum(far, hi)) & alive
+            return jax.lax.stop_gradient(jnp.any(ov))
+
+        def sph_step(row, c):
             bt, bnx, bny, bnz, bm = c
-            scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
-            r, mf, msk = sph[i, 3], sph[i, 4], sph[i, 5]
+            scx, scy, scz = row[0], row[1], row[2]
+            r, mf, msk = row[3], row[4], row[5]
             mx = ox - scx
             my = oy - scy
             mz = oz - scz
@@ -208,20 +287,20 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
             hnx, hny, hnz = _normalize3(ox + ts * dx - scx,
                                         oy + ts * dy - scy,
                                         oz + ts * dz - scz)
-            c = (jnp.where(better, t, bt),
-                 jnp.where(better, hnx, bnx),
-                 jnp.where(better, hny, bny),
-                 jnp.where(better, hnz, bnz),
-                 jnp.where(better, mf, bm))
+            return (jnp.where(better, t, bt),
+                    jnp.where(better, hnx, bnx),
+                    jnp.where(better, hny, bny),
+                    jnp.where(better, hnz, bnz),
+                    jnp.where(better, mf, bm))
 
-        for i in range(n_tri):
+        def tri_step(row, c):
             bt, bnx, bny, bnz, bm = c
-            ngx, ngy, ngz = tri[i, 0], tri[i, 1], tri[i, 2]
-            c1x, c1y, c1z = tri[i, 3], tri[i, 4], tri[i, 5]
-            c2x, c2y, c2z = tri[i, 6], tri[i, 7], tri[i, 8]
-            e1x, e1y, e1z = tri[i, 9], tri[i, 10], tri[i, 11]
-            e2x, e2y, e2z = tri[i, 12], tri[i, 13], tri[i, 14]
-            kk, mf, msk = tri[i, 15], tri[i, 16], tri[i, 17]
+            ngx, ngy, ngz = row[0], row[1], row[2]
+            c1x, c1y, c1z = row[3], row[4], row[5]
+            c2x, c2y, c2z = row[6], row[7], row[8]
+            e1x, e1y, e1z = row[9], row[10], row[11]
+            e2x, e2y, e2z = row[12], row[13], row[14]
+            kk, mf, msk = row[15], row[16], row[17]
             div = ngx * dx + ngy * dy + ngz * dz
             side_ok = (div != 0.0) if two_sided else (div > 0.0)
             idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
@@ -236,15 +315,22 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
             t = jnp.where(okh, t, inf2)
             better = t < bt
             alpha = 1.0 - beta - gamma
-            hnx = alpha * tri[i, 18] + beta * tri[i, 21] + gamma * tri[i, 24]
-            hny = alpha * tri[i, 19] + beta * tri[i, 22] + gamma * tri[i, 25]
-            hnz = alpha * tri[i, 20] + beta * tri[i, 23] + gamma * tri[i, 26]
+            hnx = alpha * row[18] + beta * row[21] + gamma * row[24]
+            hny = alpha * row[19] + beta * row[22] + gamma * row[25]
+            hnz = alpha * row[20] + beta * row[23] + gamma * row[26]
             hnx, hny, hnz = _normalize3(hnx, hny, hnz)
-            c = (jnp.where(better, t, bt),
-                 jnp.where(better, hnx, bnx),
-                 jnp.where(better, hny, bny),
-                 jnp.where(better, hnz, bnz),
-                 jnp.where(better, mf, bm))
+            return (jnp.where(better, t, bt),
+                    jnp.where(better, hnx, bnx),
+                    jnp.where(better, hny, bny),
+                    jnp.where(better, hnz, bnz),
+                    jnp.where(better, mf, bm))
+
+        sph_w = (sph_chunks, chunk_overlap_trace) \
+            if sph_chunks is not None else None
+        tri_w = (tri_chunks, chunk_overlap_trace) \
+            if tri_chunks is not None else None
+        c = _loop_diff(sph, n_sph, sph_step, c, windows=sph_w)
+        c = _loop_diff(tri, n_tri, tri_step, c, windows=tri_w)
 
         bt, bnx, bny, bnz, bm = c
         found = bm >= 0.0
@@ -260,10 +346,22 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         a = dx * dx + dy * dy + dz * dz
         inv2a = 0.5 / a
         xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
-        occ = jnp.zeros(shape, bool)
-        for i in range(n_sph):
-            scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
-            r, msk = sph[i, 3], sph[i, 5]
+        # occlusion carry is f32 0/1 so the chunked-scan path has a
+        # uniform carry dtype (matches the forward kernel's convention)
+        occ = jnp.zeros(shape)
+
+        def chunk_overlap_occ(aabb, occ):
+            near, far = MK._slab6(aabb[0], aabb[1], aabb[2],
+                                  aabb[3], aabb[4], aabb[5],
+                                  ox, oy, oz, safe_inv(dx), safe_inv(dy),
+                                  safe_inv(dz))
+            ov = (jnp.maximum(near, mint) <= jnp.minimum(far, maxt)) \
+                & alive & (occ == 0.0)
+            return jax.lax.stop_gradient(jnp.any(ov))
+
+        def sph_occ(row, occ):
+            scx, scy, scz = row[0], row[1], row[2]
+            r, msk = row[3], row[5]
             mx = ox - scx
             my = oy - scy
             mz = oz - scz
@@ -277,14 +375,16 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
             tmx = jnp.maximum(t0, t1)
             hit = ((tmn >= mint) & (tmn <= maxt)) | \
                   ((tmx >= mint) & (tmx <= maxt))
-            occ = occ | (hit & (dis >= 0.0) & (msk > 0.0) & alive)
-        for i in range(n_tri):
-            ngx, ngy, ngz = tri[i, 0], tri[i, 1], tri[i, 2]
-            c1x, c1y, c1z = tri[i, 3], tri[i, 4], tri[i, 5]
-            c2x, c2y, c2z = tri[i, 6], tri[i, 7], tri[i, 8]
-            e1x, e1y, e1z = tri[i, 9], tri[i, 10], tri[i, 11]
-            e2x, e2y, e2z = tri[i, 12], tri[i, 13], tri[i, 14]
-            kk, msk = tri[i, 15], tri[i, 17]
+            return jnp.where(hit & (dis >= 0.0) & (msk > 0.0) & alive,
+                             1.0, occ)
+
+        def tri_occ(row, occ):
+            ngx, ngy, ngz = row[0], row[1], row[2]
+            c1x, c1y, c1z = row[3], row[4], row[5]
+            c2x, c2y, c2z = row[6], row[7], row[8]
+            e1x, e1y, e1z = row[9], row[10], row[11]
+            e2x, e2y, e2z = row[12], row[13], row[14]
+            kk, msk = row[15], row[17]
             div = ngx * dx + ngy * dy + ngz * dz
             side_ok = (div != 0.0) if two_sided else (div > 0.0)
             idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
@@ -296,8 +396,15 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
             okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
                 & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
                 & (msk > 0.0) & alive
-            occ = occ | okh
-        return occ
+            return jnp.where(okh, 1.0, occ)
+
+        sph_w = (sph_chunks, chunk_overlap_occ) \
+            if sph_chunks is not None else None
+        tri_w = (tri_chunks, chunk_overlap_occ) \
+            if tri_chunks is not None else None
+        occ = _loop_diff(sph, n_sph, sph_occ, occ, windows=sph_w)
+        occ = _loop_diff(tri, n_tri, tri_occ, occ, windows=tri_w)
+        return occ > 0.0
 
     def albedo_of(mf):
         ar = jnp.zeros(shape)
@@ -473,6 +580,383 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
 
 
 # ---------------------------------------------------------------------------
+# SOFT (edge-aware) tile program — the reparameterized twin of _tile_program
+# ---------------------------------------------------------------------------
+
+def _tile_program_soft(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
+                       spp: int, width: int, bounces: int,
+                       n_sph: int, n_tri: int, n_mat: int, n_lig: int,
+                       two_sided: bool, normalize_emitter: bool,
+                       russian_roulette: bool, rr_start_depth: int,
+                       mode: str, bandwidth: float, tau: float):
+    """Edge-aware accumulator delta for one ray tile: the Assign10
+    schedule with every visibility decision SMOOTHED (diff/soft.py
+    semantics, restructured to the kernel's value-based tables and draw
+    order so it can run as the megakernel VJP's backward program):
+
+      * per-object coverage = sigmoid of the silhouette coordinate
+        (spheres: quadratic discriminant; triangles: barycentric margin);
+      * closest hit = softmin-depth blend of all hypotheses into ONE
+        surface point/normal/albedo per ray — O(N) per bounce, not the
+        O(N^2) all-pairs shading of diff/soft.py's direct pipeline;
+      * NEE occlusion = product of per-occluder soft transmittances;
+      * emitter hits = sigmoid disk coverage x soft depth race; paths
+        survive with weight (1 - emitter_weight);
+      * path aliveness = running product of per-depth coverages.
+
+    Consumes draw pairs in EXACTLY the forward kernel's order (lens, NEE
+    per light, then per depth: [rr], bounce, NEE per light), so the same
+    replayed uniforms drive both programs. As bandwidth, tau -> 0 the
+    value converges to the hard program's (tested); gradients exist
+    everywhere, including silhouettes and shadow boundaries. Russian
+    roulette stays HARD (it is a variance-reduction choice on replayed
+    draws, not a geometric discontinuity).
+
+    Ref: the same kernels _tile_program cites (code.js:1806-1854 schedule);
+    this is the BASELINE.json north-star "reparameterized/edge-aware
+    sampling" wired into the production path."""
+    shape = ridf.shape
+    draw_i = [0]
+
+    def next_pair():
+        p = pairs[draw_i[0]]
+        draw_i[0] += 1
+        return p
+
+    def P(name, off=0):
+        return par_s[MK._PAR[name] + off]
+
+    eps = P("eps")
+    bw = jnp.float32(bandwidth)
+    ox, oy, oz, dx, dy, dz, mint, maxt, ok = _primary_rays(
+        P, next_pair, ridf, in_range, spp=spp, width=width)
+
+    zero = jnp.zeros(shape)
+
+    def mat_rgb(mf):
+        """materials[mat_id].rgb for a SCALAR per-object mat id."""
+        ar = jnp.float32(0.0)
+        ag = jnp.float32(0.0)
+        ab = jnp.float32(0.0)
+        for m in range(n_mat):
+            sel = mf == float(m)
+            ar = jnp.where(sel, mat[m, 0], ar)
+            ag = jnp.where(sel, mat[m, 1], ag)
+            ab = jnp.where(sel, mat[m, 2], ab)
+        return ar, ag, ab
+
+    def sphere_hyp(i, ox, oy, oz, dx, dy, dz, mint):
+        """Soft coverage + depth for sphere i (a=1 convention of
+        diff/soft.py _soft_sphere_hits; rays are normalized)."""
+        scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
+        r, mf, msk = sph[i, 3], sph[i, 4], sph[i, 5]
+        mx = ox - scx
+        my = oy - scy
+        mz = oz - scz
+        b = mx * dx + my * dy + mz * dz
+        cq = mx * mx + my * my + mz * mz - r * r
+        dis = b * b - cq
+        alpha = jax.nn.sigmoid(dis / bw) * jnp.where(msk > 0.0, 1.0, 0.0)
+        t = -b - _safe_sqrt(dis)
+        alpha = alpha * jax.nn.sigmoid((t - mint) / bw)
+        return alpha, t, mf
+
+    def sphere_geo(i, t, ox, oy, oz, dx, dy, dz):
+        scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        nx, ny, nz = _normalize3(px - scx, py - scy, pz - scz)
+        return (px, py, pz), (nx, ny, nz)
+
+    def tri_hyp(i, ox, oy, oz, dx, dy, dz, mint, xx, xy_, xz_):
+        """Soft coverage + depth + barycentrics for triangle i (sigmoid of
+        the barycentric margin, diff/soft.py _soft_triangle_hits on the
+        kernel's constant-split Moller-Trumbore rows)."""
+        ngx, ngy, ngz = tri[i, 0], tri[i, 1], tri[i, 2]
+        c1x, c1y, c1z = tri[i, 3], tri[i, 4], tri[i, 5]
+        c2x, c2y, c2z = tri[i, 6], tri[i, 7], tri[i, 8]
+        e1x, e1y, e1z = tri[i, 9], tri[i, 10], tri[i, 11]
+        e2x, e2y, e2z = tri[i, 12], tri[i, 13], tri[i, 14]
+        kk, mf, msk = tri[i, 15], tri[i, 16], tri[i, 17]
+        div = ngx * dx + ngy * dy + ngz * dz
+        side_ok = (div != 0.0) if two_sided else (div > 0.0)
+        # double-where: near-parallel planes give astronomic t whose
+        # products with ~0 weights would NaN the backward
+        idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+        beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+        gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                 - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+        t_raw = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+        t = jnp.where(side_ok, t_raw, 1e6)
+        margin = jnp.minimum(jnp.minimum(beta, gamma), 1.0 - beta - gamma)
+        alpha = jax.nn.sigmoid(margin / bw) \
+            * jnp.where(msk > 0.0, 1.0, 0.0) * side_ok
+        alpha = alpha * jax.nn.sigmoid((t - mint) / bw)
+        return alpha, t, beta, gamma, mf
+
+    def tri_geo(i, t, beta, gamma, ox, oy, oz, dx, dy, dz):
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        al = jnp.clip(1.0 - beta - gamma, 0.0, 1.0)
+        be = jnp.clip(beta, 0.0, 1.0)
+        ga = jnp.clip(gamma, 0.0, 1.0)
+        nx = al * tri[i, 18] + be * tri[i, 21] + ga * tri[i, 24]
+        ny = al * tri[i, 19] + be * tri[i, 22] + ga * tri[i, 25]
+        nz = al * tri[i, 20] + be * tri[i, 23] + ga * tri[i, 26]
+        nx, ny, nz = _normalize3(nx, ny, nz)
+        return (px, py, pz), (nx, ny, nz)
+
+    def soft_trace(ox, oy, oz, dx, dy, dz, mint):
+        """Soft ALPHA-COMPOSITED blend of every hypothesis into one
+        surface: (cov, tbar, pbar, nbar, albbar). Each hypothesis is
+        occluded by nearer ones in proportion to their coverage:
+
+            w_i = alpha_i * prod_{j != i} (1 - alpha_j * sig((t_i-t_j)/tau))
+
+        — the sort-free soft depth ordering (NeRF-style compositing with a
+        sigmoid rank). A plain softmin-over-depth is WRONG here: a
+        near-depth hypothesis with tiny alpha (a just-missed sphere in
+        front of a wall) would steal the entire softmax mass from the real
+        surface (-dt/tau dwarfs log alpha), blacking out a halo ring and
+        leaving threshold discontinuities. Compositing gives the wall
+        (1 - alpha_sphere) of its weight instead — measured FD-allclose at
+        512x512 including silhouettes. O(N^2) pairwise sigmoids, but on
+        scalar-table unrolled loops of <= UNROLL_OBJECTS objects (~4 VPU
+        ops per pair) — ~2x the hard trace at cornell scale."""
+        xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
+        hyps = []
+        for i in range(n_sph):
+            alpha, t, mf = sphere_hyp(i, ox, oy, oz, dx, dy, dz, mint)
+            hyps.append(("s", i, alpha, t, None, None, mf))
+        for i in range(n_tri):
+            alpha, t, beta, gamma, mf = tri_hyp(i, ox, oy, oz, dx, dy, dz,
+                                                mint, xx, xy_, xz_)
+            hyps.append(("t", i, alpha, t, beta, gamma, mf))
+
+        cov = zero
+        tbar = zero
+        pbar = [zero, zero, zero]
+        nraw = [zero, zero, zero]
+        albbar = [zero, zero, zero]
+        ws = []
+        for a, (kind, i, alpha, t, beta, gamma, mf) in enumerate(hyps):
+            trans = jnp.ones(shape)
+            for b, (_, _, alpha_j, t_j, _, _, _) in enumerate(hyps):
+                if a == b:
+                    continue
+                occ = alpha_j * jax.nn.sigmoid((t - t_j) / tau)
+                trans = trans * (1.0 - occ)
+            w = alpha * trans
+            ws.append(w)
+            cov = cov + w
+        cov = jnp.clip(cov, 0.0, 1.0)
+        # double-where: 1/cov^2 in the division's backward overflows for
+        # cov ~ 1e-20 (diff/soft.py render_pathtrace_soft guard)
+        goodc = cov > 1e-6
+        icov = 1.0 / jnp.where(goodc, cov, 1.0)
+        for w, (kind, i, alpha, t, beta, gamma, mf) in zip(ws, hyps):
+            wn = jnp.where(goodc, w * icov, 0.0)
+            if kind == "s":
+                p, n = sphere_geo(i, t, ox, oy, oz, dx, dy, dz)
+            else:
+                p, n = tri_geo(i, t, beta, gamma, ox, oy, oz, dx, dy, dz)
+            ar, ag, ab = mat_rgb(mf)
+            tbar = tbar + wn * t
+            for k in range(3):
+                pbar[k] = pbar[k] + wn * p[k]
+                nraw[k] = nraw[k] + wn * n[k]
+            albbar[0] = albbar[0] + wn * ar
+            albbar[1] = albbar[1] + wn * ag
+            albbar[2] = albbar[2] + wn * ab
+        # blended normal can be denormally small (edge pixels blending
+        # opposing normals) — park those rays on a unit fallback
+        n2 = nraw[0] ** 2 + nraw[1] ** 2 + nraw[2] ** 2
+        good = n2 > 1e-8
+        inv = jax.lax.rsqrt(jnp.where(good, n2, 1.0))
+        nbar = (jnp.where(good, nraw[0] * inv, 0.0),
+                jnp.where(good, nraw[1] * inv, 0.0),
+                jnp.where(good, nraw[2] * inv, 1.0))
+        return cov, tbar, tuple(pbar), nbar, tuple(albbar)
+
+    def soft_vis(ox, oy, oz, dx, dy, dz, dist):
+        """Smooth shadow transmittance: product over occluders of
+        (1 - coverage restricted to the segment window [0, dist])."""
+        xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
+        vis = jnp.ones(shape)
+        for i in range(n_sph):
+            alpha, t, _ = sphere_hyp(i, ox, oy, oz, dx, dy, dz, zero)
+            inside = alpha * jax.nn.sigmoid((dist - t) / bw)
+            vis = vis * (1.0 - inside)
+        for i in range(n_tri):
+            alpha, t, _, _, _ = tri_hyp(i, ox, oy, oz, dx, dy, dz, zero,
+                                        xx, xy_, xz_)
+            inside = alpha * jax.nn.sigmoid((dist - t) / bw)
+            vis = vis * (1.0 - inside)
+        return vis
+
+    accr = zero
+    accg = zero
+    accb = zero
+    tpr = jnp.ones(shape)
+    tpg = jnp.ones(shape)
+    tpb = jnp.ones(shape)
+    path_w = jnp.where(ok, 1.0, 0.0)
+
+    def nee_soft(li, accr, accg, accb, tpr, tpg, tpb,
+                 cov, path_w, pbar, nbar, albbar):
+        """NEE with soft occlusion (ref initShadowTrace/sceneRender
+        code.cl:631-673, 1323-1364; pre-update throughput +
+        center-distance r^2 quirks kept)."""
+        lpx, lpy, lpz = lig[li, 0], lig[li, 1], lig[li, 2]
+        lnx, lny, lnz = lig[li, 3], lig[li, 4], lig[li, 5]
+        ir, ig, ib = lig[li, 6], lig[li, 7], lig[li, 8]
+        rad, area = lig[li, 12], lig[li, 13]
+        tax, tay, taz = lig[li, 14], lig[li, 15], lig[li, 16]
+        bax, bay, baz = lig[li, 17], lig[li, 18], lig[li, 19]
+        u0, u1 = next_pair()
+        sx, sy = _concentric(u0, u1)
+        sx = sx * rad
+        sy = sy * rad
+        tgx = lpx + sx * tax + sy * bax
+        tgy = lpy + sx * tay + sy * bay
+        tgz = lpz + sx * taz + sy * baz
+        sox = pbar[0] + eps * nbar[0]
+        soy = pbar[1] + eps * nbar[1]
+        soz = pbar[2] + eps * nbar[2]
+        dlx = tgx - sox
+        dly = tgy - soy
+        dlz = tgz - soz
+        d2 = dlx * dlx + dly * dly + dlz * dlz
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+        sdx, sdy, sdz = _normalize3(dlx, dly, dlz)
+        vis = soft_vis(sox, soy, soz, sdx, sdy, sdz, dist)
+        r2 = (pbar[0] - lpx) ** 2 + (pbar[1] - lpy) ** 2 \
+            + (pbar[2] - lpz) ** 2
+        cosx = jnp.clip(sdx * nbar[0] + sdy * nbar[1] + sdz * nbar[2],
+                        0.0, 1.0)
+        cosy = jnp.clip(-(sdx * lnx + sdy * lny + sdz * lnz), 0.0, 1.0)
+        geom = area * cosx * cosy / jnp.maximum(r2, 1e-20)
+        gain = path_w * cov * vis * geom
+        accr = accr + gain * tpr * albbar[0] * ir
+        accg = accg + gain * tpg * albbar[1] * ig
+        accb = accb + gain * tpb * albbar[2] * ib
+        tpr = tpr * albbar[0]
+        tpg = tpg * albbar[1]
+        tpb = tpb * albbar[2]
+        return accr, accg, accb, tpr, tpg, tpb
+
+    if mode == "direct":
+        # Assign08 soft shade: ambient + soft-visibility cosine, weighted
+        # by coverage (ref Assign08 code.cl:916-939; diff/soft.py
+        # render_direct_soft blended to O(N))
+        ambient = P("ambient")
+        cov, tbar, pbar, nbar, albbar = soft_trace(ox, oy, oz, dx, dy, dz,
+                                                   mint)
+        for li in range(n_lig):
+            lpx, lpy, lpz = lig[li, 0], lig[li, 1], lig[li, 2]
+            rad = lig[li, 12]
+            tax, tay, taz = lig[li, 14], lig[li, 15], lig[li, 16]
+            bax, bay, baz = lig[li, 17], lig[li, 18], lig[li, 19]
+            u0, u1 = next_pair()
+            sx, sy = _concentric(u0, u1)
+            sx = sx * rad
+            sy = sy * rad
+            tgx = lpx + sx * tax + sy * bax
+            tgy = lpy + sx * tay + sy * bay
+            tgz = lpz + sx * taz + sy * baz
+            sox = pbar[0] + eps * nbar[0]
+            soy = pbar[1] + eps * nbar[1]
+            soz = pbar[2] + eps * nbar[2]
+            dlx = tgx - sox
+            dly = tgy - soy
+            dlz = tgz - soz
+            d2 = dlx * dlx + dly * dly + dlz * dlz
+            dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+            sdx, sdy, sdz = _normalize3(dlx, dly, dlz)
+            vis = soft_vis(sox, soy, soz, sdx, sdy, sdz, dist)
+            cosx = jnp.clip(sdx * nbar[0] + sdy * nbar[1] + sdz * nbar[2],
+                            0.0, 1.0)
+            shade = jnp.clip(ambient + vis * cosx, 0.0, 1.0)
+            w = path_w * cov
+            accr = accr + w * albbar[0] * shade
+            accg = accg + w * albbar[1] * shade
+            accb = accb + w * albbar[2] * shade
+        return accr, accg, accb
+
+    for depth in range(bounces + 1):
+        if depth > 0:
+            if russian_roulette:
+                u0, _ = next_pair()
+                if depth - 1 >= rr_start_depth:
+                    p_srv = jnp.clip(jnp.maximum(tpr, jnp.maximum(tpg, tpb)),
+                                     0.05, 1.0)
+                    survive = u0 < p_srv
+                    inv_p = 1.0 / p_srv
+                    tpr = jnp.where(survive, tpr * inv_p, 0.0)
+                    tpg = jnp.where(survive, tpg * inv_p, 0.0)
+                    tpb = jnp.where(survive, tpb * inv_p, 0.0)
+                    path_w = jnp.where(survive, path_w, 0.0)
+            # bouncePaths (ref code.cl:581-598) from the blended surface
+            (tx, ty, tz), (bx, by, bz) = _tangent_frame(*nbar)
+            u0, u1 = next_pair()
+            cdx, cdy = _concentric(u0, u1)
+            cz = _safe_sqrt(1.0 - cdx * cdx - cdy * cdy)
+            dx, dy, dz = _normalize3(cdx * tx + cdy * bx + cz * nbar[0],
+                                     cdx * ty + cdy * by + cz * nbar[1],
+                                     cdx * tz + cdy * bz + cz * nbar[2])
+            ox = pbar[0] + eps * nbar[0]
+            oy = pbar[1] + eps * nbar[1]
+            oz = pbar[2] + eps * nbar[2]
+            mint = zero
+            path_w = path_w * cov
+
+        cov, tbar, pbar, nbar, albbar = soft_trace(ox, oy, oz, dx, dy, dz,
+                                                   mint)
+
+        if depth == 0:
+            # lightRender (ref code.cl:600-629): emitter credit on the
+            # primary segment only; soft depth race vs the blended surface
+            for li in range(n_lig):
+                lpx, lpy, lpz = lig[li, 0], lig[li, 1], lig[li, 2]
+                lnx, lny, lnz = lig[li, 3], lig[li, 4], lig[li, 5]
+                if normalize_emitter:
+                    ir, ig, ib = lig[li, 9], lig[li, 10], lig[li, 11]
+                else:
+                    ir, ig, ib = lig[li, 6], lig[li, 7], lig[li, 8]
+                rad = lig[li, 12]
+                den = dx * lnx + dy * lny + dz * lnz
+                num = (lpx - ox) * lnx + (lpy - oy) * lny + (lpz - oz) * lnz
+                # double-where side mask on the plane division (advisor
+                # round-2 finding on diff/soft.py)
+                goodl = jnp.abs(den) > 1e-12
+                idiv = 1.0 / jnp.where(goodl, den, 1.0)
+                t_l = jnp.where(goodl, num * idiv, 1e6)
+                qx = ox + t_l * dx - lpx
+                qy = oy + t_l * dy - lpy
+                qz = oz + t_l * dz - lpz
+                on_disk = jax.nn.sigmoid(
+                    (rad * rad - (qx * qx + qy * qy + qz * qz)) / bw)
+                front = jax.nn.sigmoid((t_l - mint) / bw)
+                before = cov * jax.nn.sigmoid((tbar - t_l) / bw) \
+                    + (1.0 - cov)
+                lw = on_disk * front * before * goodl
+                accr = accr + path_w * lw * ir
+                accg = accg + path_w * lw * ig
+                accb = accb + path_w * lw * ib
+                path_w = path_w * (1.0 - lw)
+
+        for li in range(n_lig):
+            accr, accg, accb, tpr, tpg, tpb = nee_soft(
+                li, accr, accg, accb, tpr, tpg, tpb,
+                cov, path_w, pbar, nbar, albbar)
+
+    return accr, accg, accb
+
+
+# ---------------------------------------------------------------------------
 # Backward kernel
 # ---------------------------------------------------------------------------
 
@@ -486,7 +970,12 @@ def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
                 use_u: bool, seed: int, mode: str,
                 russian_roulette: bool, rr_start_depth: int,
                 remat: bool, diff_wrt: tuple = DIFF_ALL,
-                bwd_sublanes: int = SUBLANES):
+                bwd_sublanes: int = SUBLANES,
+                soft_bandwidth: float = 0.0, soft_tau: float = 0.0,
+                stream_tri: bool = False, stream_sph: bool = False):
+    rest = list(rest)
+    tri_chunks = rest.pop(0)[:] if stream_tri else None
+    sph_chunks = rest.pop(0)[:] if stream_sph else None
     if use_u:
         u_ref = rest[0]
         g_refs = rest[1:4]
@@ -539,13 +1028,21 @@ def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
     vals = dict(par=[par[i] for i in range(NPAR)], sph=sph[:], tri=tri[:],
                 mat=mat[:], lig=lig[:])
 
+    soft_kw = {}
+    if soft_bandwidth > 0.0:
+        # edge-aware backward: differentiate the SOFT reformulation of the
+        # schedule instead of the hard champion program (forward stays hard)
+        soft_kw = dict(bandwidth=soft_bandwidth, tau=soft_tau)
+    if soft_bandwidth <= 0.0:
+        soft_kw = dict(tri_chunks=tri_chunks, sph_chunks=sph_chunks)
     prog = functools.partial(
-        _tile_program, pairs=pairs, ridf=ridf, in_range=in_range,
+        _tile_program_soft if soft_bandwidth > 0.0 else _tile_program,
+        pairs=pairs, ridf=ridf, in_range=in_range,
         spp=spp, width=width, bounces=bounces, n_sph=n_sph, n_tri=n_tri,
         n_mat=n_mat, n_lig=n_lig, two_sided=two_sided,
         normalize_emitter=normalize_emitter,
         russian_roulette=russian_roulette, rr_start_depth=rr_start_depth,
-        mode=mode)
+        mode=mode, **soft_kw)
 
     # differentiate only the requested parameter groups (the rest are
     # closure constants — their transpose work is DCE'd away; e.g. the
@@ -587,7 +1084,9 @@ def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
 def _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, *,
                 spp, width, bounces, two_sided, normalize_emitter,
                 seed, interpret, mode, russian_roulette, rr_start_depth,
-                remat, diff_wrt=DIFF_ALL, bwd_sublanes=SUBLANES):
+                remat, diff_wrt=DIFF_ALL, bwd_sublanes=SUBLANES,
+                soft_bandwidth=0.0, soft_tau=0.0,
+                tri_chunks=None, sph_chunks=None):
     """Parameter cotangents for one pass. g: (R, 3) cotangent of acc_out."""
     assert SUBLANES % bwd_sublanes == 0, \
         "backward tiles must subdivide the forward's PRNG tiles"
@@ -607,7 +1106,10 @@ def _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, *,
               use_u=u_planes is not None, seed=seed, mode=mode,
               russian_roulette=russian_roulette,
               rr_start_depth=rr_start_depth, remat=remat,
-              diff_wrt=tuple(diff_wrt), bwd_sublanes=bwd_sublanes)
+              diff_wrt=tuple(diff_wrt), bwd_sublanes=bwd_sublanes,
+              soft_bandwidth=soft_bandwidth, soft_tau=soft_tau,
+              stream_tri=tri_chunks is not None,
+              stream_sph=sph_chunks is not None)
 
     ray_block = pl.BlockSpec((bwd_sublanes, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -616,6 +1118,12 @@ def _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, *,
 
     in_specs = [smem, smem, vmem, vmem, vmem, vmem]
     args = [ipar, par, sph, tri, mat, lig]
+    if tri_chunks is not None:
+        in_specs.append(smem)
+        args.append(tri_chunks.astype(jnp.float32))
+    if sph_chunks is not None:
+        in_specs.append(smem)
+        args.append(sph_chunks.astype(jnp.float32))
     if u_planes is not None:
         D2 = u_planes.shape[0]
         u3 = jnp.stack([_pad_plane(u_planes[j], P) for j in range(D2)])
@@ -662,12 +1170,15 @@ def _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, *,
 def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
                    spp, width, bounces, two_sided, normalize_emitter,
                    seed, mode, russian_roulette, rr_start_depth,
-                   diff_wrt=("par", "sph", "tri", "mat", "lig")):
+                   diff_wrt=("par", "sph", "tri", "mat", "lig"),
+                   soft_bandwidth=0.0, soft_tau=0.0,
+                   tri_chunks=None, sph_chunks=None):
     """Plain-XLA cotangents: jax.vjp of _tile_program over the whole padded
     ray set as ONE tile. Used (a) on CPU/interpret, where running the
     backward Pallas kernel through the interpreter costs minutes per call,
     and (b) as the oracle the Pallas backward kernel is tested against.
-    Requires u_planes (the on-core PRNG has no host analog)."""
+    Requires u_planes (the on-core PRNG has no host analog).
+    ``soft_bandwidth > 0`` differentiates the edge-aware soft program."""
     assert u_planes is not None, \
         "diff megakernel on CPU/interpret requires u_planes (no host PRNG)"
     R = g.shape[0]
@@ -693,10 +1204,17 @@ def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
                 mat=mat_n, lig=lig_n)
     sel = [n for n in DIFF_ALL if n in diff_wrt]
 
+    if soft_bandwidth > 0.0:
+        soft_kw = dict(bandwidth=soft_bandwidth, tau=soft_tau)
+        prog = _tile_program_soft
+    else:
+        soft_kw = dict(tri_chunks=tri_chunks, sph_chunks=sph_chunks)
+        prog = _tile_program
+
     def f(*sel_args):
         v = dict(vals)
         v.update(dict(zip(sel, sel_args)))
-        return _tile_program(
+        return prog(
             v["par"], v["sph"], v["tri"], v["mat"], v["lig"],
             pairs, ridf, in_range,
             spp=spp, width=width, bounces=bounces,
@@ -704,7 +1222,7 @@ def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
             n_mat=mat.shape[0], n_lig=lig.shape[0],
             two_sided=two_sided, normalize_emitter=normalize_emitter,
             russian_roulette=russian_roulette,
-            rr_start_depth=rr_start_depth, mode=mode)
+            rr_start_depth=rr_start_depth, mode=mode, **soft_kw)
 
     _, vjp_fn = jax.vjp(f, *[vals[n] for n in sel])
     cot = dict(zip(sel, vjp_fn(g_planes)))
@@ -723,43 +1241,61 @@ def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
 @functools.lru_cache(maxsize=None)
 def _make_diff_op(spp, width, bounces, two_sided, normalize_emitter, seed,
                   interpret, mode, russian_roulette, rr_start_depth, remat,
-                  diff_wrt, bwd_sublanes):
+                  diff_wrt, bwd_sublanes, soft_bandwidth=0.0, soft_tau=0.0,
+                  stream_tri=False, stream_sph=False):
     kw = dict(spp=spp, width=width, bounces=bounces, two_sided=two_sided,
               normalize_emitter=normalize_emitter, seed=seed,
               interpret=interpret, mode=mode,
               russian_roulette=russian_roulette,
               rr_start_depth=rr_start_depth)
+    soft = dict(soft_bandwidth=soft_bandwidth, soft_tau=soft_tau)
+
+    def fwd_kw(chunks, sphc):
+        # streamed tables ride the forward streaming kernel (Morton chunks
+        # + tile culling + SMEM DMA); the backward replays the same chunk
+        # culling at the value level (_loop_diff windows)
+        return dict(kw, chunks=chunks if stream_tri else None,
+                    sph_chunks=sphc if stream_sph else None)
+
+    def bwd_chunks(chunks, sphc):
+        return dict(tri_chunks=chunks if stream_tri else None,
+                    sph_chunks=sphc if stream_sph else None)
 
     @jax.custom_vjp
-    def op(par, ipar, sph, tri, mat, lig, acc, u_planes):
+    def op(par, ipar, sph, tri, mat, lig, acc, u_planes, chunks, sphc):
         return MK.pathtrace_pass_pallas(par, ipar, sph, tri, mat, lig, acc,
-                                        u_planes, **kw)
+                                        u_planes, **fwd_kw(chunks, sphc))
 
-    def fwd(par, ipar, sph, tri, mat, lig, acc, u_planes):
+    def fwd(par, ipar, sph, tri, mat, lig, acc, u_planes, chunks, sphc):
         out = MK.pathtrace_pass_pallas(par, ipar, sph, tri, mat, lig, acc,
-                                       u_planes, **kw)
-        return out, (par, ipar, sph, tri, mat, lig, u_planes)
+                                       u_planes, **fwd_kw(chunks, sphc))
+        return out, (par, ipar, sph, tri, mat, lig, u_planes, chunks, sphc)
 
     def bwd(res, g):
-        par, ipar, sph, tri, mat, lig, u_planes = res
+        par, ipar, sph, tri, mat, lig, u_planes, chunks, sphc = res
         if interpret:
             bkw = dict(kw)
             bkw.pop("interpret")
             dpar, dsph, dtri, dmat, dlig = _bwd_reference(
                 par, ipar, sph, tri, mat, lig, g, u_planes,
-                diff_wrt=diff_wrt, **bkw)
+                diff_wrt=diff_wrt, **bkw, **soft,
+                **bwd_chunks(chunks, sphc))
         else:
             dpar, dsph, dtri, dmat, dlig = _bwd_pallas(
                 par, ipar, sph, tri, mat, lig, g, u_planes,
                 remat=remat, diff_wrt=diff_wrt,
-                bwd_sublanes=bwd_sublanes, **kw)
+                bwd_sublanes=bwd_sublanes, **kw, **soft,
+                **bwd_chunks(chunks, sphc))
         # slice off the dummy row added for empty tables
         def cut(d, t):
             return d[:t.shape[0]] if t.shape[0] else jnp.zeros_like(t)
         dipar = np.zeros(ipar.shape, jax.dtypes.float0)
         du = None if u_planes is None else jnp.zeros_like(u_planes)
+        # chunk AABBs are culling metadata only — they never change values,
+        # so their true cotangent is zero
         return (dpar, dipar, cut(dsph, sph), cut(dtri, tri),
-                cut(dmat, mat), cut(dlig, lig), g, du)
+                cut(dmat, mat), cut(dlig, lig), g, du,
+                jnp.zeros_like(chunks), jnp.zeros_like(sphc))
 
     op.defvjp(fwd, bwd)
     return op
@@ -770,14 +1306,75 @@ def pathtrace_pass_diff(par, ipar, sph, tri, mat, lig, acc, u_planes, *,
                         seed, interpret=False, mode="path",
                         russian_roulette=False, rr_start_depth=0,
                         remat=True, diff_wrt=DIFF_ALL,
-                        bwd_sublanes=SUBLANES):
+                        bwd_sublanes=SUBLANES,
+                        soft_bandwidth=0.0, soft_tau=0.0,
+                        chunks=None, sph_chunks=None):
     """Differentiable megakernel pass: primal = the fused forward kernel;
     backward = the fused recompute-VJP kernel above. Unrolled-table scenes
     only (see supported_diff in render/mega.py). ``diff_wrt`` restricts
     which parameter groups get real cotangents (others return zeros —
-    opt-in via cfg.mega_grad_wrt; the BASELINE metric is geometry+albedo)."""
+    opt-in via cfg.mega_grad_wrt; the BASELINE metric is geometry+albedo).
+
+    ``soft_bandwidth > 0`` switches the backward to the EDGE-AWARE soft
+    program (_tile_program_soft): the forward value stays the hard fused
+    kernel, but cotangents are those of the reparameterized soft schedule,
+    so silhouette/occlusion-boundary gradients are real instead of silent
+    (cfg.mega_edge_bandwidth / cfg.mega_edge_tau).
+
+    ``chunks``/``sph_chunks`` (per-STREAM_CHUNK AABBs of Morton-sorted
+    tables): the forward runs the STREAMING kernel; the backward scans the
+    same tables chunk-by-chunk under the same conservative tile culling
+    (_loop_diff windows) — this is what lifts supported_diff past the
+    unroll budget (large meshes / molecules train through the megakernel)."""
+    if soft_bandwidth > 0.0:
+        assert sph.shape[0] <= MK.UNROLL_OBJECTS \
+            and tri.shape[0] <= MK.UNROLL_OBJECTS, \
+            "edge-aware backward requires unrolled-size tables " \
+            "(<= UNROLL_OBJECTS objects per type)"
     op = _make_diff_op(spp, width, bounces, two_sided, normalize_emitter,
                        seed, interpret, mode, russian_roulette,
                        rr_start_depth, remat, tuple(diff_wrt),
-                       bwd_sublanes)
-    return op(par, ipar, sph, tri, mat, lig, acc, u_planes)
+                       bwd_sublanes, float(soft_bandwidth), float(soft_tau),
+                       chunks is not None, sph_chunks is not None)
+    dummy = jnp.zeros((1, 8), jnp.float32)
+    return op(par, ipar, sph, tri, mat, lig, acc, u_planes,
+              dummy if chunks is None else chunks,
+              dummy if sph_chunks is None else sph_chunks)
+
+
+def soft_pass_value(par, ipar, sph, tri, mat, lig, u_planes, *,
+                    spp, width, bounces, two_sided, normalize_emitter,
+                    mode="path", russian_roulette=False, rr_start_depth=0,
+                    soft_bandwidth=1e-2, soft_tau=1e-2):
+    """The soft program's accumulator DELTA (R, 3) as plain XLA — the
+    function whose exact gradient the edge-aware backward returns. Used by
+    the FD oracle tests (finite differences of THIS are well-posed
+    everywhere, silhouettes included) and for bandwidth diagnostics."""
+    R = u_planes.shape[1]
+    P = -(-R // LANES) * LANES
+    shape = (P // LANES, LANES)
+    u3 = jnp.stack([_pad_plane(u_planes[j], P)
+                    for j in range(u_planes.shape[0])])
+
+    def nonempty(t):
+        return t if t.shape[0] else jnp.zeros((1,) + t.shape[1:], t.dtype)
+
+    sph_n, tri_n, mat_n, lig_n = map(nonempty, (sph, tri, mat, lig))
+    pairs = _materialize_draws(u3, shape, spp=spp, n_lig=lig.shape[0],
+                               bounces=bounces, rr=russian_roulette,
+                               mode=mode)
+    rid = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+           + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    in_range = rid < R
+    ridf = (rid + ipar[1]).astype(jnp.float32)
+    accr, accg, accb = _tile_program_soft(
+        [par[i] for i in range(NPAR)], sph_n, tri_n, mat_n, lig_n,
+        pairs, ridf, in_range,
+        spp=spp, width=width, bounces=bounces,
+        n_sph=sph.shape[0], n_tri=tri.shape[0],
+        n_mat=mat.shape[0], n_lig=lig.shape[0],
+        two_sided=two_sided, normalize_emitter=normalize_emitter,
+        russian_roulette=russian_roulette, rr_start_depth=rr_start_depth,
+        mode=mode, bandwidth=soft_bandwidth, tau=soft_tau)
+    return jnp.stack([accr.reshape(-1)[:R], accg.reshape(-1)[:R],
+                      accb.reshape(-1)[:R]], axis=-1)

@@ -256,19 +256,32 @@ def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
     return (scene.spheres.count <= (1 << 20) and tri_count <= (1 << 20))
 
 
+# the differentiable megakernel covers tables up to this many objects per
+# type: the backward runs a checkpointed chunked lax.scan over the (Morton-
+# streamed) VMEM table with the forward's conservative chunk culling
+# (megakernel_grad._loop_diff). The cap bounds the backward's jaxpr size
+# (one cond+scan block per DIFF_CHUNK chunk per trace segment).
+DIFF_TABLE_MAX = 4096
+
+
 def supported_diff(scene: Scene | None, cfg: RenderConfig) -> bool:
     """Whether the DIFFERENTIABLE megakernel (custom VJP, fused recompute
-    backward — ops/pallas/megakernel_grad.py) covers this render: the
-    backward kernel AD-unrolls the object loops as values, so it is gated
-    to the static-unroll budget (<= UNROLL_OBJECTS per type). Larger scenes
-    train through the XLA stage pipeline."""
+    backward — ops/pallas/megakernel_grad.py) covers this render. Tables
+    up to UNROLL_OBJECTS unroll statically (round-2 path); larger tables
+    (teapot-class meshes, molecules) run the chunk-scanned backward with
+    the streaming forward as primal, up to DIFF_TABLE_MAX objects/type.
+    The EDGE-AWARE backward (cfg.mega_edge_bandwidth) stays gated to the
+    unroll budget (its O(N^2) soft compositing). Grid-mode scenes and
+    anything larger train through the XLA stage pipeline."""
     if not supported(scene, cfg) or cfg.use_grid:
         return False
     if scene is None:
         return True
     from ..render.stages import _all_triangles
-    return (scene.spheres.count <= MK.UNROLL_OBJECTS
-            and _all_triangles(scene).count <= MK.UNROLL_OBJECTS)
+    limit = MK.UNROLL_OBJECTS if cfg.mega_edge_bandwidth > 0.0 \
+        else DIFF_TABLE_MAX
+    return (scene.spheres.count <= limit
+            and _all_triangles(scene).count <= limit)
 
 
 def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
@@ -319,16 +332,22 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
               seed=cfg.seed, interpret=interpret,
               russian_roulette=cfg.russian_roulette,
               rr_start_depth=cfg.rr_start_depth)
-    if chunks is None and supported_diff(scene, cfg):
-        # differentiable path (custom VJP; same primal kernel, fused
-        # recompute backward — ops/pallas/megakernel_grad.py). jax.grad
-        # through this render works; gradients flow to camera, spheres,
-        # triangles, materials and lights via the scene_tables packing.
+    if grid is None and supported_diff(scene, cfg):
+        # differentiable path (custom VJP; same primal kernel — streaming
+        # for large tables — with the fused recompute backward,
+        # ops/pallas/megakernel_grad.py). jax.grad through this render
+        # works; gradients flow to camera, spheres, triangles, materials
+        # and lights via the scene_tables packing (streamed tables are
+        # un-permuted by AD through the Morton gather).
         from ..ops.pallas.megakernel_grad import pathtrace_pass_diff
+        tau = cfg.mega_edge_tau or cfg.mega_edge_bandwidth
         acc = pathtrace_pass_diff(par, ipar, sph, tri, mat, lig,
                                   state["acc"], u_planes,
                                   diff_wrt=cfg.mega_grad_wrt,
-                                  bwd_sublanes=cfg.mega_bwd_sublanes, **kw)
+                                  bwd_sublanes=cfg.mega_bwd_sublanes,
+                                  soft_bandwidth=cfg.mega_edge_bandwidth,
+                                  soft_tau=tau, chunks=chunks,
+                                  sph_chunks=sphc, **kw)
     else:
         # blocked pixel layout (forward-only, single-shard): acc stays
         # row-major as the package invariant; gather to slot order around
@@ -383,8 +402,15 @@ def render_direct_mega(scene: Scene, cfg: RenderConfig,
         sph, sphc = sph_chunk_tables(sph, scene)
 
     blk = _effective_block(cfg)
+    # blocked layout: the kernel consumes draws in SLOT order — gather
+    # row-major u_planes through s2r exactly like render_pass_mega, so
+    # draw-for-draw parity with render/direct.py holds regardless of
+    # mega_block (advisor round-2 finding)
+    s2r = _ray_perms(cfg, blk)[0] if blk else None
 
     def one_pass(pass_idx, acc, up):
+        if up is not None and s2r is not None:
+            up = up[:, s2r]
         ipar = jnp.stack([jnp.asarray(pass_idx, jnp.int32), jnp.int32(0)])
         return MK.pathtrace_pass_pallas(
             par, ipar, sph, tri, mat, lig, acc, up,

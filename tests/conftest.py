@@ -45,13 +45,21 @@ _SLOW = {
     "test_grid_mode_pathtracer_matches_xla",
     "test_blocked_layout_matches_row_major",
     "test_sphere_streaming_matches_unstreamed",
+    # edge-aware (soft-backward) megakernel gradients
+    "test_edge_soft_converges_to_hard",
+    "test_edge_fd_unmasked_fullimage_512",
+    "test_edge_backward_production_wiring",
+    "test_edge_interior_matches_hard",
+    "test_edge_silhouette_optim_converges",
     # differentiable megakernel comparisons
     "test_diff_grads_match_xla_direct_segment",
     "test_diff_grads_match_xla_bounced", "test_diff_grads_match_xla_rr",
-    "test_diff_wrt_subset",
+    "test_diff_wrt_subset", "test_diff_grads_match_xla_streamed_tris",
+    "test_diff_grads_match_xla_large_sphere_table",
     # 8-device virtual mesh
     "test_sharded_render_matches_single_device",
     "test_train_step_grads_match_single_device",
+    "test_mega_train_step_grads_match_single_device",
     "test_objsharded_closest_hit_matches",
     # full-pipeline goldens / progressive statistics
     "test_golden", "test_direct_progressive_passes",

@@ -1,0 +1,186 @@
+"""Edge-aware gradients in the PRODUCTION megakernel VJP path.
+
+The megakernel's custom VJP can differentiate the soft (reparameterized)
+reformulation of the whole Assign10 schedule instead of the hard champion
+program (cfg.mega_edge_bandwidth > 0; ops/pallas/megakernel_grad.py
+_tile_program_soft): silhouette / shadow-boundary / emitter-edge gradients
+become real while the forward image stays the hard fused kernel.
+
+These tests pin down the BASELINE.json north-star clause
+("reparameterized/edge-aware sampling ... pixel+gradient allclose"):
+
+  * the soft program converges to the hard kernel as bandwidth -> 0;
+  * FD-allclose of an UNMASKED full-image loss at 512x512 wrt sphere
+    centers AND wall vertices (silhouette pixels included);
+  * jax.grad through render_pass_mega with edge mode == the soft oracle;
+  * interior (albedo) gradients agree with the hard backward;
+  * a silhouette-recovery optimization riding the production VJP converges.
+
+All gradient evaluations run EAGERLY (no jit): XLA-CPU compile of the
+whole-tile vjp takes minutes (measured 310 s at 64x48 on the 2-core test
+box) while eager evaluation of the same graph takes seconds at 512x512.
+On TPU the backward runs as the fused Pallas kernel instead.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracing_tpu import RenderConfig
+from raytracing_tpu.models.scenes import cornell_box
+from raytracing_tpu.render import pathtracer
+from raytracing_tpu.render.mega import (render_pass_mega, scene_tables,
+                                        u_planes_for_pass)
+from raytracing_tpu.ops.pallas.megakernel_grad import (_bwd_reference,
+                                                       soft_pass_value)
+
+
+def _setup(width, height, bounces=1):
+    cfg = RenderConfig(width=width, height=height, spp=1, bounces=bounces)
+    scene = cornell_box(cols=width, rows=height)
+    st = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(st["key"], st["passes"], cfg, scene.lights.count)
+    return cfg, scene, st, u
+
+
+def test_edge_soft_converges_to_hard():
+    """As bandwidth, tau -> 0 the soft program's accumulator converges to
+    the hard megakernel's, pixelwise except a shrinking silhouette set."""
+    cfg, scene, st, u = _setup(32, 24)
+    par, sph, tri, mat, lig = scene_tables(scene, cfg)
+    ipar = jnp.array([0, 0], jnp.int32)
+    kw = dict(spp=1, width=cfg.width, bounces=1, two_sided=False,
+              normalize_emitter=True)
+    hard = np.asarray(render_pass_mega(scene, st, cfg, u_planes=u,
+                                       interpret=True)["acc"])
+    fracs = []
+    for bw in (1e-2, 1e-3, 1e-4):
+        soft = np.asarray(soft_pass_value(par, ipar, sph, tri, mat, lig, u,
+                                          soft_bandwidth=bw, soft_tau=bw,
+                                          **kw))
+        fracs.append(float((np.abs(soft - hard).max(-1) > 1e-2).mean()))
+    # differing-pixel fraction shrinks to the silhouette measure
+    assert fracs[0] > fracs[1] > fracs[2]
+    assert fracs[2] < 0.01
+
+
+def test_edge_fd_unmasked_fullimage_512():
+    """FD-allclose of an UNMASKED 512x512 full-image loss wrt sphere
+    centers AND wall vertices — silhouette pixels included, no interior
+    masking. The loss is a fixed random-weighted mean of the soft value
+    (the exact function whose gradient the edge-aware backward returns).
+    Top-|grad| components agree with central differences; small
+    components carry sub-pixel sampling ripple (silhouettes span ~6 px at
+    this bandwidth), so the gate is top-3 per group + the median."""
+    cfg, scene, st, u = _setup(512, 512)
+    ipar = jnp.array([0, 0], jnp.int32)
+    BW = 5e-2
+    kw = dict(spp=1, width=cfg.width, bounces=1, two_sided=False,
+              normalize_emitter=True, soft_bandwidth=BW, soft_tau=BW)
+    W = jax.random.normal(jax.random.PRNGKey(7),
+                          (cfg.total_rays, 3)) * 0.5 + 1.0
+
+    def L(center, v):
+        sc = dataclasses.replace(
+            scene,
+            spheres=dataclasses.replace(scene.spheres, center=center),
+            triangles=dataclasses.replace(scene.triangles, v=v))
+        p_, s_, t_, m_, l_ = scene_tables(sc, cfg)
+        return jnp.mean(soft_pass_value(p_, ipar, s_, t_, m_, l_, u, **kw)
+                        * W)
+
+    c0, v0 = scene.spheres.center, scene.triangles.v
+    gc, gv = jax.grad(L, argnums=(0, 1))(c0, v0)
+    gc, gv = np.asarray(gc), np.asarray(gv)
+    assert np.isfinite(gc).all() and np.isfinite(gv).all()
+    assert np.abs(gc).max() > 0 and np.abs(gv).max() > 0
+
+    def fd(f, x0, idx, eps=2e-3):
+        x0 = np.asarray(x0)
+        xp = x0.copy()
+        xp[idx] += eps
+        xm = x0.copy()
+        xm[idx] -= eps
+        return (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) \
+            / (2 * eps)
+
+    rels_c, rels_v = [], []
+    for k in np.argsort(-np.abs(gc).ravel())[:4]:
+        idx = np.unravel_index(k, gc.shape)
+        g_fd = fd(lambda x: L(x, v0), c0, idx)
+        rels_c.append(abs(gc[idx] - g_fd) / max(abs(g_fd), 1e-12))
+    for k in np.argsort(-np.abs(gv).ravel())[:4]:
+        idx = np.unravel_index(k, gv.shape)
+        g_fd = fd(lambda x: L(c0, x), v0, idx)
+        rels_v.append(abs(gv[idx] - g_fd) / max(abs(g_fd), 1e-12))
+    # top-3 per group tight; median over all probes tight
+    assert max(rels_c[:3]) < 0.15, rels_c
+    assert max(rels_v[:3]) < 0.15, rels_v
+    assert np.median(rels_c + rels_v) < 0.10, (rels_c, rels_v)
+
+
+def test_edge_backward_production_wiring():
+    """jax.grad THROUGH render_pass_mega with cfg.mega_edge_bandwidth
+    (hard fused forward + soft backward via the custom VJP) must equal the
+    soft oracle's gradient exactly — same scene_tables packing, same draw
+    layout, same program."""
+    cfg, scene, st, u = _setup(16, 12)
+    cfg = dataclasses.replace(cfg, use_megakernel=True,
+                              mega_edge_bandwidth=2e-2)
+    ipar = jnp.array([0, 0], jnp.int32)
+    kw = dict(spp=1, width=cfg.width, bounces=1, two_sided=False,
+              normalize_emitter=True, soft_bandwidth=2e-2, soft_tau=2e-2)
+
+    def loss_prod(center):
+        sc = dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres, center=center))
+        out = render_pass_mega(sc, st, cfg, u_planes=u, interpret=True)
+        return jnp.sum(out["acc"])
+
+    def loss_soft(center):
+        sc = dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres, center=center))
+        p_, s_, t_, m_, l_ = scene_tables(sc, cfg)
+        return jnp.sum(soft_pass_value(p_, ipar, s_, t_, m_, l_, u, **kw))
+
+    g_prod = np.asarray(jax.grad(loss_prod)(scene.spheres.center))
+    g_soft = np.asarray(jax.grad(loss_soft)(scene.spheres.center))
+    np.testing.assert_allclose(g_prod, g_soft, rtol=1e-6, atol=1e-7)
+    assert np.abs(g_prod).max() > 0
+
+
+def test_edge_interior_matches_hard():
+    """In the interior (away from silhouettes) the soft gradients must
+    agree with the hard backward's — albedo/material cotangents aggregate
+    over the whole image and are interior-dominated, so at sub-pixel
+    bandwidth the two backends match closely (VERDICT round-2 weak #4)."""
+    cfg, scene, st, u = _setup(48, 36)
+    par, sph, tri, mat, lig = scene_tables(scene, cfg)
+    ipar = jnp.array([0, 0], jnp.int32)
+    g = jnp.ones((cfg.total_rays, 3))
+    kw = dict(spp=1, width=cfg.width, bounces=1, two_sided=False,
+              normalize_emitter=True, seed=cfg.seed, mode="path",
+              russian_roulette=False, rr_start_depth=0)
+    hard = _bwd_reference(par, ipar, sph, tri, mat, lig, g, u, **kw)
+    soft = _bwd_reference(par, ipar, sph, tri, mat, lig, g, u,
+                          soft_bandwidth=2e-3, soft_tau=2e-3, **kw)
+    dmat_h, dmat_s = np.asarray(hard[3]), np.asarray(soft[3])
+    scale = np.abs(dmat_h).max()
+    assert scale > 0
+    np.testing.assert_allclose(dmat_s[:, :3], dmat_h[:, :3],
+                               atol=0.06 * scale, rtol=0.06)
+
+
+def test_edge_silhouette_optim_converges():
+    """Silhouette recovery THROUGH THE PRODUCTION VJP: hard megakernel
+    forward + edge-aware backward recovers a sphere offset whose
+    silhouette barely overlaps the target — the regime where the hard
+    backward is silent (examples/silhouette_optim.py, engine='mega')."""
+    from examples.silhouette_optim import optimize
+
+    start_err, final_err = optimize(engine="mega", width=16, height=12,
+                                    steps=6, offset=(0.22, -0.12),
+                                    lr=4e-2, bandwidth=4e-2)
+    assert final_err < 0.7 * start_err, (start_err, final_err)

@@ -239,10 +239,17 @@ def test_multi_pass_statistics_jitted(small_scene):
 
 
 def _teapot_scene(cols=48, rows=36, n_slabs=4):
+    import os
+
     from raytracing_tpu.accel import prepare_grids
     from raytracing_tpu.io.scene_xml import load_scene
-    scene = load_scene("/root/reference/Assign10-Path_Tracing/scenes/"
-                       "cornell_teapot.xml", cols, rows)
+    from raytracing_tpu.models.assignments import REF_ROOT
+    xml = os.path.join(REF_ROOT,
+                       "Assign10-Path_Tracing/scenes/cornell_teapot.xml")
+    if not os.path.exists(xml):
+        pytest.skip("reference cornell_teapot.xml not available "
+                    "(set RT_REFERENCE_DIR)")
+    scene = load_scene(xml, cols, rows)
     return prepare_grids(scene, n_slabs)
 
 
@@ -284,8 +291,10 @@ def test_grid_mode_pathtracer_matches_xla(small_scene):
 
 
 def test_blocked_layout_matches_row_major():
-    """mega_block pixel tiling: with draws permuted to follow the
-    slot->pixel map, the unblocked image must equal row-major EXACTLY."""
+    """mega_block pixel tiling: render_direct_mega itself gathers the
+    row-major draws to slot order, so the SAME u_planes tensor must yield
+    the EXACT same image with blocking on and off (draw-for-draw parity
+    with render/direct.py regardless of mega_block)."""
     import dataclasses
 
     from raytracing_tpu.core import rng
@@ -299,13 +308,8 @@ def test_blocked_layout_matches_row_major():
     cfgB = dataclasses.replace(cfg0, mega_block=B)
     key = rng.base_key(cfg0.seed)
     up_row = u_planes_for_direct(key, cfg0, scene.lights.count)
-    s = np.arange(W * H)
-    bid, w_in = s // (B * B), s % (B * B)
-    brow, bcol = bid // (W // B), bid % (W // B)
-    pix_of_slot = (brow * B + w_in // B) * W + (bcol * B + w_in % B)
-    up_blk = jnp.asarray(np.asarray(up_row)[:, pix_of_slot])
     img0 = np.asarray(render_direct_mega(scene, cfg0, u_planes=up_row))
-    imgB = np.asarray(render_direct_mega(scene, cfgB, u_planes=up_blk))
+    imgB = np.asarray(render_direct_mega(scene, cfgB, u_planes=up_row))
     np.testing.assert_array_equal(img0, imgB)
 
 
