@@ -49,7 +49,12 @@ def _grads(scene, cfg, pass_fn):
     return jax.value_and_grad(loss)(params)
 
 
-def _compare(scene, cfg):
+def _compare(scene, cfg, rtol_v=1e-5, max_viol=0.0):
+    """``max_viol``: tolerated fraction of per-component violations. At
+    cornell scale gradients match componentwise (0.0); at hundreds of
+    objects a handful of silhouette pixels flip champion between the two
+    implementations' float expression orders, re-routing those pixels'
+    cotangents — the aggregate direction must still agree (cosine gate)."""
     state0 = pathtracer.init_state(cfg)
     u = u_planes_for_pass(state0["key"], state0["passes"], cfg,
                           scene.lights.count)
@@ -58,13 +63,26 @@ def _compare(scene, cfg):
     vm, gm = _grads(scene, cfg,
                     lambda sc, st: render_pass_mega(sc, st, cfg, u_planes=u,
                                                     interpret=True))
-    np.testing.assert_allclose(float(vm), float(vx), rtol=1e-5)
+    np.testing.assert_allclose(float(vm), float(vx), rtol=rtol_v)
     for k in gx:
         a, b = np.asarray(gx[k]), np.asarray(gm[k])
+        if a.size == 0:
+            continue
         assert np.isfinite(b).all(), k
         scale = max(np.abs(a).max(), 1e-8)
-        np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3 * scale,
-                                   err_msg=k)
+        if max_viol == 0.0:
+            np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3 * scale,
+                                       err_msg=k)
+        else:
+            # champion flips are float-level (FMA contraction inside the
+            # compiled scan body vs the stage pipeline's fusions — the
+            # BASELINE.md cross-backend noise class): a flipped silhouette
+            # pixel re-routes its whole cotangent to the other object, so
+            # the gate is directional + magnitude agreement
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            cos = (a * b).sum() / max(na * nb, 1e-20)
+            assert cos > 0.99, f"{k}: cosine {cos}"
+            assert 0.8 < nb / max(na, 1e-20) < 1.25, f"{k}: norms {na} {nb}"
         if np.abs(a).max() > 0:
             assert np.abs(b).max() > 0, f"{k}: mega grad identically zero"
 
@@ -84,12 +102,82 @@ def test_diff_grads_match_xla_rr(scene):
 
 
 def test_diff_gating():
+    from raytracing_tpu.render.mega import DIFF_TABLE_MAX
     cfg = RenderConfig(width=8, height=8)
     assert supported_diff(cornell_box(cols=8, rows=8), cfg)
-    # beyond the unroll budget -> XLA pipeline for training
-    assert not supported_diff(sphere_field(65, cols=8, rows=8), cfg)
+    # beyond the unroll budget: the chunk-scanned backward covers it now
+    assert supported_diff(sphere_field(65, cols=8, rows=8), cfg)
     assert not supported_diff(None, RenderConfig(width=8, height=8,
                                                  use_grid=True))
+    # the edge-aware backward stays gated to the unroll budget
+    cfg_edge = RenderConfig(width=8, height=8, mega_edge_bandwidth=1e-2)
+    assert supported_diff(cornell_box(cols=8, rows=8), cfg_edge)
+    assert not supported_diff(sphere_field(65, cols=8, rows=8), cfg_edge)
+    assert DIFF_TABLE_MAX > 64
+
+
+def _subdivide_triangles(scene, k):
+    """Split every scene triangle into k^2 coplanar sub-triangles with the
+    SAME union geometry (orientation preserved, vn barycentrically
+    interpolated) — a big-table scene whose image is pixel-identical to
+    the original's, for exercising the streamed/scanned paths."""
+    from raytracing_tpu.core.types import Triangles
+
+    v = np.asarray(scene.triangles.v)
+    vn = np.asarray(scene.triangles.vn)
+    mat = np.asarray(scene.triangles.mat_id)
+    vs, vns, mats = [], [], []
+    for t in range(v.shape[0]):
+        p0, p1, p2 = v[t]
+        n0, n1, n2 = vn[t]
+
+        def pt(a, b):
+            return (p0 + (p1 - p0) * (a / k) + (p2 - p0) * (b / k),
+                    n0 + (n1 - n0) * (a / k) + (n2 - n0) * (b / k))
+
+        for a in range(k):
+            for b in range(k - a):
+                q = [pt(a, b), pt(a + 1, b), pt(a, b + 1)]
+                vs.append([x[0] for x in q])
+                vns.append([x[1] for x in q])
+                mats.append(mat[t])
+                if a + b < k - 1:
+                    q = [pt(a + 1, b), pt(a + 1, b + 1), pt(a, b + 1)]
+                    vs.append([x[0] for x in q])
+                    vns.append([x[1] for x in q])
+                    mats.append(mat[t])
+    tris = Triangles(v=jnp.asarray(np.asarray(vs, np.float32)),
+                     vn=jnp.asarray(np.asarray(vns, np.float32)),
+                     mat_id=jnp.asarray(np.asarray(mats, np.int32)),
+                     mask=jnp.ones(len(vs), bool))
+    return dataclasses.replace(scene, triangles=tris)
+
+
+def test_diff_grads_match_xla_streamed_tris(scene):
+    """LARGE triangle table (360 tris > UNROLL_OBJECTS): forward streams
+    (Morton chunks + tile culling + SMEM DMA), backward runs the chunked
+    lax.scan with the same conservative chunk culling
+    (megakernel_grad._loop_diff windows). Grads must still match the XLA
+    stage pipeline on the identical subdivided geometry."""
+    big = _subdivide_triangles(scene, k=6)          # 10 -> 360 triangles
+    cfg = RenderConfig(width=32, height=24, spp=1, bounces=1)
+    assert supported_diff(big, cfg)
+    _compare(big, cfg)
+
+
+def test_diff_grads_match_xla_large_sphere_table():
+    """Sphere table past the unroll budget (200 spheres): the backward
+    scans chunks (no AABB windows — spheres below the streaming threshold
+    ride the forward's SMEM fori path). At 32x24 nearly every pixel of the
+    dense cloud is a silhouette pixel, so champion-flip noise is at its
+    worst — the gate is aggregate (cosine + norm), with componentwise
+    exactness already pinned by the streamed-triangle test above."""
+    sc = sphere_field(200, cols=32, rows=24)
+    # value rtol loosened: at 200 objects the kernel's scalar-form math
+    # vs the XLA pipeline's matmul-form accumulates ~1e-4 relative float
+    # drift (same champion, different expression order)
+    _compare(sc, RenderConfig(width=32, height=24, spp=1, bounces=1),
+             rtol_v=1e-3, max_viol=0.01)
 
 
 def test_diff_wrt_subset(scene):
