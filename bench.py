@@ -15,7 +15,10 @@ Env knobs: BENCH_WIDTH/HEIGHT/PASSES/REPS/BOUNCES/SCENE, BENCH_MEGA=0
 BENCH_MODE=train (fwd+bwd — since round 2 this rides the differentiable
 megakernel's custom VJP), BENCH_RR=1 (Russian roulette termination),
 BENCH_FULL=1 (config 5 EXACTLY as BASELINE.json specifies: 1024
-progressive samples/pixel with RR, one number for the whole render),
+progressive samples/pixel with RR, one number for the whole render;
+combine with BENCH_MODE=train for the full spec INCLUDING the backward
+pass every progressive step), BENCH_EDGE=1 (train through the edge-aware
+soft backward, cfg.mega_edge_bandwidth=2e-2),
 BENCH_CONFIG=1..5 (the five BASELINE.json configs: 1 fake-shade sphere,
 2 direct lighting + shadows, 3 mesh+grid, 4 thin lens spp4,
 5 path tracing — default), BENCH_BLOCK (megakernel blocked pixel layout,
@@ -58,10 +61,19 @@ def main() -> None:
     # gridded triangle sets); default it on for the mesh scenes
     block = int(os.environ.get(
         "BENCH_BLOCK", "64" if scene_name in ("house", "teapot") else "0"))
+    # BENCH_EDGE=1: train through the EDGE-AWARE soft backward (silhouette
+    # gradients; forward stays the hard kernel) — measures the <=3x-of-hard
+    # step-time budget for cfg.mega_edge_bandwidth
+    edge_bw = 2e-2 if os.environ.get("BENCH_EDGE", "0") == "1" else 0.0
+    # BENCH_GRID=1: prepare + use the in-kernel uniform grids for the main
+    # scene (streamed cell-major tables for big assets; mega sphere grid
+    # for molecules). Resolution from BENCH_NSLABS or the cost model.
+    use_grid = os.environ.get("BENCH_GRID", "0") == "1"
     cfg = RenderConfig(width=width, height=height, spp=1, bounces=bounces,
                        use_megakernel=use_mega, russian_roulette=rr,
                        rr_start_depth=2, mega_grad_wrt=("sph", "mat"),
-                       mega_block=block)
+                       mega_block=block, mega_edge_bandwidth=edge_bw,
+                       use_grid=use_grid)
     if scene_name == "spheres":
         scene = sphere_field(int(os.environ.get("BENCH_NSPHERES", "1024")),
                              cols=width, rows=height)
@@ -75,10 +87,18 @@ def main() -> None:
         scene = big_mesh_scene("teapot.json", cols=width, rows=height)
     else:
         scene = cornell_box(cols=width, rows=height)
+    if use_grid:
+        from raytracing_tpu.accel import prepare_grids
+        ns = os.environ.get("BENCH_NSLABS", "auto")
+        scene = prepare_grids(scene, ns if ns == "auto" else int(ns))
 
     bench_config = int(os.environ.get("BENCH_CONFIG", "5"))
     if bench_config != 5:
         _config_bench(jax, bench_config, width, height)
+        return
+
+    if os.environ.get("BENCH_FULL", "0") == "1" and mode == "train":
+        _full_train_bench(jax, scene, cfg)
         return
 
     if os.environ.get("BENCH_FULL", "0") == "1":
@@ -225,6 +245,55 @@ def _full_render_bench(jax, scene, cfg) -> None:
     segs = cfg.total_rays * (1 + n_lights + cfg.bounces * (1 + n_lights))
     print(json.dumps({
         "metric": "config5_full_1024spp_rr_rays_per_s",
+        "value": round(segs * spp_total / dt, 1),
+        "unit": "ray_segments/s/chip",
+        "vs_baseline": 1.0,
+    }))
+
+
+def _full_train_bench(jax, scene, cfg) -> None:
+    """BASELINE.json config 5 WITH TRAINING, exactly as specified: 1024
+    progressive samples/pixel, Russian roulette termination, forward +
+    backward (grads wrt sphere geometry + materials through the megakernel
+    custom VJP) EVERY pass, progressive state threaded between steps. One
+    JSON line for the whole run; asserts the final grads are finite and
+    nonzero. (BENCH_MODE=train BENCH_FULL=1.)"""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from raytracing_tpu.render import pathtracer
+
+    spp_total = int(os.environ.get("BENCH_SPP_TOTAL", "1024"))
+
+    def loss(params, state):
+        spheres = dataclasses.replace(scene.spheres,
+                                      center=params["center"],
+                                      radius=params["radius"])
+        sc = dataclasses.replace(scene, spheres=spheres,
+                                 materials=params["materials"])
+        st = pathtracer._render_pass(sc, state, cfg)
+        img = pathtracer.image(st, cfg)
+        return jnp.mean(img ** 2), st
+
+    step = jax.jit(jax.value_and_grad(loss, has_aux=True))
+    params = {"center": scene.spheres.center, "radius": scene.spheres.radius,
+              "materials": scene.materials}
+    state = pathtracer.init_state(cfg)
+    (_, state), grads = step(params, state)          # compile
+    float(grads["center"].ravel()[0])
+    state = pathtracer.init_state(cfg)
+    t0 = time.perf_counter()
+    for _ in range(spp_total):
+        (l, state), grads = step(params, state)
+    g0 = float(abs(grads["center"]).sum()) + float(abs(grads["materials"]).sum())
+    float(state["acc"].ravel()[0])
+    dt = time.perf_counter() - t0
+    assert g0 > 0 and jax.numpy.isfinite(l), "full-train grads degenerate"
+    n_lights = scene.lights.count
+    segs = cfg.total_rays * (1 + n_lights + cfg.bounces * (1 + n_lights))
+    print(json.dumps({
+        "metric": "config5_full_train_1024spp_rr_rays_per_s",
         "value": round(segs * spp_total / dt, 1),
         "unit": "ray_segments/s/chip",
         "vs_baseline": 1.0,

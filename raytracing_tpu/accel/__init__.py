@@ -17,7 +17,8 @@ def auto_slabs(n_tris: int) -> int:
     return max(1, round((max(n_tris, 1) / 40.0) ** (1.0 / 3.0)))
 
 
-def prepare_grids(scene: Scene, n_slabs: int | tuple | str = 1) -> Scene:
+def prepare_grids(scene: Scene, n_slabs: int | tuple | str = 1,
+                  mesh_slabs: int | str = "xml") -> Scene:
     """Build all acceleration grids host-side (the analog of preRender's
     splitSphereData/splitTriangleData calls, ref code.js:1784-1804;
     per-mesh grids use each mesh's own nslabs, code.js:899-1045).
@@ -56,36 +57,53 @@ def prepare_grids(scene: Scene, n_slabs: int | tuple | str = 1) -> Scene:
     # Item indices are absolute into the _all_triangles fold (scene tris
     # first, then meshes); results are identical to the per-source grids
     # (grid == brute, hits idempotent).
-    import jax.numpy as jnp
     import numpy as np
 
-    from .grid import mega_order_grid, triangle_aabbs
-    folded_grid = None
+    from .grid import mega_order_grid, sphere_aabbs, triangle_aabbs
+    folded_grids = None
     eye = np.asarray(scene.camera.eye)
-    # grid the LARGE meshes only (the _all_triangles fold puts them last);
-    # small meshes join the walls in the kernel's brute prefix — matching
-    # the reference's per-mesh dispatch (64 = megakernel UNROLL_OBJECTS)
+    # grid the LARGE meshes only (the _all_triangles fold puts them last),
+    # ONE GRID PER MESH with the mesh's OWN nslabs (the reference's
+    # per-mesh meshTrace dispatch, code.js:1293-1303 — teapot 10^3, boxes
+    # 5^3 from the XML); small meshes join the walls in the kernel's brute
+    # prefix (64 = megakernel UNROLL_OBJECTS)
     large = [m for m in scene.meshes if m.tris.count > 64]
     if large:
-        from ..core.types import Triangles
         start = scene.triangles.count + sum(
             m.tris.count for m in scene.meshes if m.tris.count <= 64)
-        mv = jnp.concatenate([m.tris.v for m in large])
-        bmin = np.min([np.asarray(m.bounds_min) for m in large], axis=0)
-        bmax = np.max([np.asarray(m.bounds_max) for m in large], axis=0)
-        mesh_tris = Triangles(v=mv, vn=mv, mat_id=jnp.zeros(mv.shape[0],
-                                                            jnp.int32),
-                              mask=jnp.ones(mv.shape[0], bool))
-        g = build_triangle_grid(mesh_tris, bmin, bmax, n_slabs)
-        lo, hi = triangle_aabbs(np.asarray(mv))
-        folded_grid = mega_order_grid(g, lo, hi, eye, index_offset=start)
+        grids = []
+        off = start
+        for m in large:
+            # mesh_slabs="xml": honor each mesh's own XML nslabs (teapot
+            # 10^3, boxes 5^3 — the reference's exact per-mesh dispatch);
+            # an int overrides every mesh (cost-model tuning)
+            if mesh_slabs == "xml":
+                res = m.nslabs if (m.nslabs and m.nslabs != 1) else n_slabs
+            else:
+                res = mesh_slabs
+            g = build_triangle_grid(m.tris, m.bounds_min, m.bounds_max, res)
+            lo, hi = triangle_aabbs(np.asarray(m.tris.v))
+            grids.append(mega_order_grid(g, lo, hi, eye, index_offset=off))
+            off += m.tris.count
+        folded_grids = tuple(grids)
     elif scene.triangles.count + sum(m.tris.count for m in scene.meshes):
-        # no large mesh: grid the whole fold (scene tris + small meshes)
+        # no large mesh: one grid over the whole fold (scene tris + small
+        # meshes)
         from ..render.stages import _all_triangles
         folded = _all_triangles(scene)
         lo, hi = triangle_aabbs(np.asarray(folded.v))
         g = build_triangle_grid(folded, lo.min(0), hi.max(0), n_slabs)
-        folded_grid = mega_order_grid(g, lo, hi, eye)
+        folded_grids = (mega_order_grid(g, lo, hi, eye),)
+    # mega sphere grid (molecule-scale scenes; the reference's
+    # splitSphereData analog): resolution from the measured cost model
+    mega_sph = None
+    if scene.spheres.count > 64:
+        n_sph_grid = auto_slabs(scene.spheres.count)
+        gs = build_sphere_grid(scene.spheres, scene.sphere_bounds_min,
+                               scene.sphere_bounds_max, n_sph_grid)
+        lo, hi = sphere_aabbs(np.asarray(scene.spheres.center),
+                              np.asarray(scene.spheres.radius))
+        mega_sph = mega_order_grid(gs, lo, hi, eye)
     return replace(scene, sphere_grid=sphere_grid,
                    triangle_grid=triangle_grid, meshes=meshes,
-                   folded_tri_grid=folded_grid)
+                   folded_tri_grid=folded_grids, mega_sph_grid=mega_sph)

@@ -411,11 +411,18 @@ class Scene:
     lens_radius: Array       # () lens_diameter / 2
     sphere_grid: Any = None    # accel.grid.Grid, built by prepare_grids
     triangle_grid: Any = None
-    folded_tri_grid: Any = None  # one grid over ALL triangles (scene tris +
-    #                              mesh instances, fold order of
-    #                              render.stages._all_triangles) at the
-    #                              scene resolution — the megakernel's
-    #                              grid-mode table (render/mega.py)
+    folded_tri_grid: Any = None  # tuple[Grid, ...]: the megakernel's
+    #                              grid-mode tables (render/mega.py) —
+    #                              one grid PER LARGE MESH, each with its
+    #                              own nslabs resolution and AABB (the
+    #                              reference's per-mesh meshTrace
+    #                              dispatch), item indices absolute into
+    #                              render.stages._all_triangles' fold
+    #                              order; or a single scene-level grid
+    #                              when no large mesh exists
+    mega_sph_grid: Any = None    # Grid over ALL spheres in mega visit
+    #                              order — the megakernel's in-kernel
+    #                              sphere grid for molecule-scale scenes
 
     @property
     def bounds(self) -> AABB:

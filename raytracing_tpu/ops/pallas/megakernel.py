@@ -73,6 +73,12 @@ STREAM_CHUNK = 128
 # streaming path's tile culling lets wall-facing tiles skip the mesh
 # outright and compiles an order of magnitude faster.)
 STREAM_MIN_TRIS = UNROLL_OBJECTS
+# STREAMED grid mode (tables beyond the SMEM budget): the cell-major
+# duplicated object table lives in HBM (the reference's own re-vendored
+# per-cell buffer layout, splitTriangleData code.js:1643-1772); a visited
+# cell's rows are DMA'd in sub-chunks of this many 128-wide rows. Cells
+# average tens of items, so a small chunk keeps the fetch tight.
+GRID_CHUNK = 32
 
 
 def _loop_objects(n: int, body, init):
@@ -208,19 +214,39 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                         russian_roulette: bool = False,
                         rr_start_depth: int = 0,
                         stream_tri: bool = False, n_chunks: int = 0,
-                        grid_tri: bool = False,
-                        grid_n: tuple = (1, 1, 1), grid_start: int = 0,
+                        tri_grids: tuple = (),
+                        grid_streamed: bool = False, grid_start: int = 0,
+                        sph_grid_n: tuple = (),
                         block: int = 0,
                         stream_sph: bool = False, n_sph_chunks: int = 0):
+    grid_tri = bool(tri_grids)
     rest = list(rest)
+    tri_grid_args = []
     if grid_tri:
-        # uniform-grid CSR tables (SMEM): offsets (C+1,), item ids (NI,),
-        # geometry params [pmin xyz, cell width xyz], tight per-cell AABBs
-        # (C, 6) in front-to-back visit order (accel.grid.mega_order_grid)
-        goff = rest.pop(0)
-        gitems = rest.pop(0)
-        gpar = rest.pop(0)
-        gb = rest.pop(0)
+        # per-grid uniform-grid tables, one entry per (large) mesh — the
+        # reference's per-mesh meshTrace dispatch with its own nslabs
+        # (code.js:1293-1303). RESIDENT grids: CSR offsets (C+1,), item
+        # ids into the SMEM tri table, geometry params [pmin xyz, cell
+        # width xyz], tight per-cell AABBs (C, 6) in front-to-back visit
+        # order (accel.grid.mega_order_grid). STREAMED grids: item ids are
+        # replaced by a cell-major duplicated row table in HBM, DMA'd per
+        # visited cell (tables beyond the SMEM budget).
+        for _ in tri_grids:
+            if grid_streamed:
+                tri_grid_args.append((rest.pop(0), rest.pop(0),
+                                      rest.pop(0), rest.pop(0)))
+                # (goff, gpar, gb, gtab)
+            else:
+                tri_grid_args.append((rest.pop(0), rest.pop(0),
+                                      rest.pop(0), rest.pop(0)))
+                # (goff, gitems, gpar, gb)
+    sph_grid_args = None
+    if sph_grid_n:
+        # in-kernel SPHERE grid (big molecules; ref splitSphereData
+        # code.js:1554-1641): always streamed (it exists precisely for
+        # tables beyond SMEM). (goff, gpar, gb, gtab)
+        sph_grid_args = (rest.pop(0), rest.pop(0), rest.pop(0),
+                        rest.pop(0))
     if stream_sph:
         schk = rest.pop(0)           # per-sphere-chunk AABBs (nc, 8) SMEM
     u_ref = rest.pop(0) if use_u else None
@@ -231,9 +257,12 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
         smem_chunk = scratch.pop(0)  # SMEM triangle chunk buffer
     if stream_sph:
         smem_sph = scratch.pop(0)    # SMEM sphere chunk buffer
-    if stream_tri or stream_sph:
+    gchunk_dma = grid_streamed or bool(sph_grid_n)
+    if gchunk_dma:
+        smem_gchunk = scratch.pop(0)  # SMEM grid-cell sub-chunk buffer
+    if stream_tri or stream_sph or gchunk_dma:
         dma_sem = scratch.pop(0)
-    if stream_tri or stream_sph or grid_tri:
+    if stream_tri or stream_sph or grid_tri or sph_grid_n:
         (s_bt, s_bnx, s_bny, s_bnz, s_bm) = scratch[0:5]
 
     shape = (SUBLANES, LANES)
@@ -549,8 +578,75 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
 
             return body
 
+        def stream_cell_loop(goff, gb, gtab, body5):
+            """Streamed-grid cell visit for the CLOSEST-HIT search: slab
+            test vs the cell AABB against each ray's live [mint,
+            min(maxt, champion)] window; visited cells DMA their
+            cell-major rows in GRID_CHUNK sub-chunks and champion them
+            with masked fori (count = CSR extent)."""
+
+            def cell_loop(ci, _):
+                lo_off = goff[ci]
+                hi_off = goff[ci + 1]
+                near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
+                                   gb[ci, 3], gb[ci, 4], gb[ci, 5],
+                                   ox, oy, oz, invdx, invdy, invdz)
+                hi = jnp.minimum(maxt, s_bt[:])
+                overlap = (jnp.maximum(near, mint)
+                           <= jnp.minimum(far, hi)) & alive
+
+                @pl.when(jnp.any(overlap) & (lo_off < hi_off))
+                def _():
+                    nsub = (hi_off - lo_off + GRID_CHUNK - 1) // GRID_CHUNK
+
+                    def sub(k, _2):
+                        off = lo_off + k * GRID_CHUNK
+                        cp = pltpu.make_async_copy(
+                            gtab.at[pl.ds(off, GRID_CHUNK), :],
+                            smem_gchunk, dma_sem)
+                        cp.start()
+                        cp.wait()
+                        cnt = jnp.minimum(jnp.int32(GRID_CHUNK),
+                                          hi_off - off)
+                        carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
+                                 s_bm[:])
+                        carry = jax.lax.fori_loop(0, cnt, body5, carry)
+                        (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
+                         s_bm[:]) = carry
+                        return 0
+
+                    jax.lax.fori_loop(0, nsub, sub, 0)
+                return 0
+
+            return cell_loop
+
         c = init
-        if n_sph and not stream_sph:
+        if n_sph and sph_grid_n:
+            # in-kernel sphere grid: cells visited under the shrinking
+            # champion window — the fix for dense-cloud bounce rays, where
+            # Morton-chunk streaming's per-chunk AABBs all overlap but a
+            # short champion window crosses only a few CELLS
+            s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
+            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+            sgoff, sgpar, sgb, sgtab = sph_grid_args
+            cell_loop = stream_cell_loop(sgoff, sgb, sgtab,
+                                         make_sph_body5(smem_gchunk))
+            gnear, gfar = _slab6(
+                sgpar[0], sgpar[1], sgpar[2],
+                sgpar[0] + float(sph_grid_n[0]) * sgpar[3],
+                sgpar[1] + float(sph_grid_n[1]) * sgpar[4],
+                sgpar[2] + float(sph_grid_n[2]) * sgpar[5],
+                ox, oy, oz, invdx, invdy, invdz)
+            ghit = (jnp.maximum(gnear, mint)
+                    <= jnp.minimum(gfar, jnp.minimum(maxt, s_bt[:]))) & alive
+
+            @pl.when(jnp.any(ghit))
+            def _():
+                _loop_cells(sph_grid_n, cell_loop)
+
+            c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
+                 c[5], c[6], c[7])
+        if n_sph and not stream_sph and not sph_grid_n:
             c = _loop_objects(n_sph, sph_body, c)
         if n_sph and stream_sph:
             # streamed spheres (big molecules): Morton chunks + per-chunk
@@ -615,49 +711,66 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             # O(n^2) cells each); gridded triangles are visited per cell:
             # a vector slab test of every ray's live [mint, min(maxt,
             # champion)] window against the cell AABB + a scalar any-reduce
-            # decides whether the tile visits the cell's CSR item list at
-            # all; visited items are DYNAMIC scalar reads from the SMEM
-            # triangle table. The whole grid is gated by ONE test against
-            # its overall AABB. Cell visit order is storage order —
-            # correctness does not depend on it (champion over binned items
-            # == brute force; duplicated hits idempotent, SURVEY §7 quirk
-            # 9); shrinking champion windows still cull back-of-scene cells.
+            # decides whether the tile visits the cell's item list at all.
+            # RESIDENT grids read items as DYNAMIC scalar indices into the
+            # SMEM triangle table; STREAMED grids DMA the cell's rows from
+            # the HBM cell-major table. One grid per large mesh, each with
+            # its own resolution and AABB gate (per-mesh nslabs parity).
+            # Cell visit order is storage order — correctness does not
+            # depend on it (champion over binned items == brute force;
+            # duplicated hits idempotent, SURVEY §7 quirk 9); shrinking
+            # champion windows still cull back-of-scene cells.
             tri_body_dyn = make_tri_body5(tri)
             c5 = _loop_objects(grid_start, tri_body_dyn, c[0:5])
             s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c5
             invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-            def cell_loop(ci, _):
-                lo_off = goff[ci]
-                hi_off = goff[ci + 1]
-                near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
-                                   gb[ci, 3], gb[ci, 4], gb[ci, 5],
-                                   ox, oy, oz, invdx, invdy, invdz)
-                hi = jnp.minimum(maxt, s_bt[:])
-                overlap = (jnp.maximum(near, mint) <= jnp.minimum(far, hi)) \
+            def resident_cell_loop(goff, gitems, gb):
+                def cell_loop(ci, _):
+                    lo_off = goff[ci]
+                    hi_off = goff[ci + 1]
+                    near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
+                                       gb[ci, 3], gb[ci, 4], gb[ci, 5],
+                                       ox, oy, oz, invdx, invdy, invdz)
+                    hi = jnp.minimum(maxt, s_bt[:])
+                    overlap = (jnp.maximum(near, mint)
+                               <= jnp.minimum(far, hi)) & alive
+
+                    @pl.when(jnp.any(overlap) & (lo_off < hi_off))
+                    def _():
+                        carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
+                                 s_bm[:])
+                        carry = jax.lax.fori_loop(
+                            lo_off, hi_off,
+                            lambda j, cc: tri_body_dyn(gitems[j], cc),
+                            carry)
+                        (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
+                         s_bm[:]) = carry
+                    return 0
+
+                return cell_loop
+
+            for gi, gn in enumerate(tri_grids):
+                if grid_streamed:
+                    goff_g, gpar_g, gb_g, gtab_g = tri_grid_args[gi]
+                    cell_loop = stream_cell_loop(
+                        goff_g, gb_g, gtab_g, make_tri_body5(smem_gchunk))
+                else:
+                    goff_g, gitems_g, gpar_g, gb_g = tri_grid_args[gi]
+                    cell_loop = resident_cell_loop(goff_g, gitems_g, gb_g)
+                gnear, gfar = _slab6(
+                    gpar_g[0], gpar_g[1], gpar_g[2],
+                    gpar_g[0] + float(gn[0]) * gpar_g[3],
+                    gpar_g[1] + float(gn[1]) * gpar_g[4],
+                    gpar_g[2] + float(gn[2]) * gpar_g[5],
+                    ox, oy, oz, invdx, invdy, invdz)
+                ghit = (jnp.maximum(gnear, mint)
+                        <= jnp.minimum(gfar, jnp.minimum(maxt, s_bt[:]))) \
                     & alive
 
-                @pl.when(jnp.any(overlap) & (lo_off < hi_off))
-                def _():
-                    carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:])
-                    carry = jax.lax.fori_loop(
-                        lo_off, hi_off,
-                        lambda j, cc: tri_body_dyn(gitems[j], cc), carry)
-                    s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = carry
-                return 0
-
-            gnear, gfar = _slab6(
-                gpar[0], gpar[1], gpar[2],
-                gpar[0] + float(grid_n[0]) * gpar[3],
-                gpar[1] + float(grid_n[1]) * gpar[4],
-                gpar[2] + float(grid_n[2]) * gpar[5],
-                ox, oy, oz, invdx, invdy, invdz)
-            ghit = (jnp.maximum(gnear, mint)
-                    <= jnp.minimum(gfar, jnp.minimum(maxt, s_bt[:]))) & alive
-
-            @pl.when(jnp.any(ghit))
-            def _():
-                _loop_cells(grid_n, cell_loop)
+                @pl.when(jnp.any(ghit))
+                def _(cell_loop=cell_loop, gn=gn):
+                    _loop_cells(gn, cell_loop)
 
             c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
                  c[5], c[6], c[7])
@@ -784,8 +897,65 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
 
             return body
 
+        def stream_cell_loop_occ(goff, gb, gtab, body_occ):
+            """Streamed-grid cell visit for OCCLUSION: cells whose AABB no
+            still-unoccluded ray's segment overlaps are skipped; visited
+            cells DMA their rows in GRID_CHUNK sub-chunks."""
+
+            def cell_loop(ci, _):
+                lo_off = goff[ci]
+                hi_off = goff[ci + 1]
+                near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
+                                   gb[ci, 3], gb[ci, 4], gb[ci, 5],
+                                   ox, oy, oz, invdx, invdy, invdz)
+                free = s_bt[:] == 0.0
+                overlap = (jnp.maximum(near, mint)
+                           <= jnp.minimum(far, maxt)) & alive & free
+
+                @pl.when(jnp.any(overlap) & (lo_off < hi_off))
+                def _():
+                    nsub = (hi_off - lo_off + GRID_CHUNK - 1) // GRID_CHUNK
+
+                    def sub(k, _2):
+                        off = lo_off + k * GRID_CHUNK
+                        cp = pltpu.make_async_copy(
+                            gtab.at[pl.ds(off, GRID_CHUNK), :],
+                            smem_gchunk, dma_sem)
+                        cp.start()
+                        cp.wait()
+                        cnt = jnp.minimum(jnp.int32(GRID_CHUNK),
+                                          hi_off - off)
+                        s_bt[:] = jax.lax.fori_loop(0, cnt, body_occ,
+                                                    s_bt[:])
+                        return 0
+
+                    jax.lax.fori_loop(0, nsub, sub, 0)
+                return 0
+
+            return cell_loop
+
         occ = jnp.zeros(shape)
-        if n_sph and not stream_sph:
+        if n_sph and sph_grid_n:
+            s_bt[:] = occ
+            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+            sgoff, sgpar, sgb, sgtab = sph_grid_args
+            cell_loop = stream_cell_loop_occ(sgoff, sgb, sgtab,
+                                             make_sph_occ_body(smem_gchunk))
+            gnear, gfar = _slab6(
+                sgpar[0], sgpar[1], sgpar[2],
+                sgpar[0] + float(sph_grid_n[0]) * sgpar[3],
+                sgpar[1] + float(sph_grid_n[1]) * sgpar[4],
+                sgpar[2] + float(sph_grid_n[2]) * sgpar[5],
+                ox, oy, oz, invdx, invdy, invdz)
+            ghit = (jnp.maximum(gnear, mint) <= jnp.minimum(gfar, maxt)) \
+                & alive
+
+            @pl.when(jnp.any(ghit))
+            def _():
+                _loop_cells(sph_grid_n, cell_loop)
+
+            occ = s_bt[:]
+        if n_sph and not stream_sph and not sph_grid_n:
             occ = _loop_objects(n_sph, sph_body, occ)
         if n_sph and stream_sph:
             s_bt[:] = occ
@@ -831,42 +1001,57 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             occ = s_bt[:]
         if n_tri and grid_tri:
             # grid any-hit (ref *ShadowTrace code.cl:1073-1321): scene tris
-            # brute, gridded tris per cell; cells whose AABB no
-            # still-unoccluded ray's segment overlaps are skipped
+            # brute, gridded tris per cell (one grid per mesh); cells whose
+            # AABB no still-unoccluded ray's segment overlaps are skipped
             tri_occ_dyn = make_tri_occ_body(tri)
             occ = _loop_objects(grid_start, tri_occ_dyn, occ)
             s_bt[:] = occ
             invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-            def cell_loop(ci, _):
-                lo_off = goff[ci]
-                hi_off = goff[ci + 1]
-                near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
-                                   gb[ci, 3], gb[ci, 4], gb[ci, 5],
-                                   ox, oy, oz, invdx, invdy, invdz)
-                free = s_bt[:] == 0.0
-                overlap = (jnp.maximum(near, mint) <= jnp.minimum(far, maxt)) \
-                    & alive & free
+            def resident_cell_loop_occ(goff, gitems, gb):
+                def cell_loop(ci, _):
+                    lo_off = goff[ci]
+                    hi_off = goff[ci + 1]
+                    near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
+                                       gb[ci, 3], gb[ci, 4], gb[ci, 5],
+                                       ox, oy, oz, invdx, invdy, invdz)
+                    free = s_bt[:] == 0.0
+                    overlap = (jnp.maximum(near, mint)
+                               <= jnp.minimum(far, maxt)) & alive & free
 
-                @pl.when(jnp.any(overlap) & (lo_off < hi_off))
-                def _():
-                    s_bt[:] = jax.lax.fori_loop(
-                        lo_off, hi_off,
-                        lambda j, oc: tri_occ_dyn(gitems[j], oc), s_bt[:])
-                return 0
+                    @pl.when(jnp.any(overlap) & (lo_off < hi_off))
+                    def _():
+                        s_bt[:] = jax.lax.fori_loop(
+                            lo_off, hi_off,
+                            lambda j, oc: tri_occ_dyn(gitems[j], oc),
+                            s_bt[:])
+                    return 0
 
-            gnear, gfar = _slab6(
-                gpar[0], gpar[1], gpar[2],
-                gpar[0] + float(grid_n[0]) * gpar[3],
-                gpar[1] + float(grid_n[1]) * gpar[4],
-                gpar[2] + float(grid_n[2]) * gpar[5],
-                ox, oy, oz, invdx, invdy, invdz)
-            ghit = (jnp.maximum(gnear, mint) <= jnp.minimum(gfar, maxt)) \
-                & alive & (s_bt[:] == 0.0)
+                return cell_loop
 
-            @pl.when(jnp.any(ghit))
-            def _():
-                _loop_cells(grid_n, cell_loop)
+            for gi, gn in enumerate(tri_grids):
+                if grid_streamed:
+                    goff_g, gpar_g, gb_g, gtab_g = tri_grid_args[gi]
+                    cell_loop = stream_cell_loop_occ(
+                        goff_g, gb_g, gtab_g,
+                        make_tri_occ_body(smem_gchunk))
+                else:
+                    goff_g, gitems_g, gpar_g, gb_g = tri_grid_args[gi]
+                    cell_loop = resident_cell_loop_occ(goff_g, gitems_g,
+                                                       gb_g)
+                gnear, gfar = _slab6(
+                    gpar_g[0], gpar_g[1], gpar_g[2],
+                    gpar_g[0] + float(gn[0]) * gpar_g[3],
+                    gpar_g[1] + float(gn[1]) * gpar_g[4],
+                    gpar_g[2] + float(gn[2]) * gpar_g[5],
+                    ox, oy, oz, invdx, invdy, invdz)
+                ghit = (jnp.maximum(gnear, mint)
+                        <= jnp.minimum(gfar, maxt)) & alive \
+                    & (s_bt[:] == 0.0)
+
+                @pl.when(jnp.any(ghit))
+                def _(cell_loop=cell_loop, gn=gn):
+                    _loop_cells(gn, cell_loop)
 
             occ = s_bt[:]
         return occ > 0.0
@@ -1111,10 +1296,15 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
         return t if t.shape[0] else jnp.zeros((1,) + t.shape[1:], t.dtype)
 
     stream_tri = chunks is not None and tri.shape[0] > 0
-    grid_tri = grid is not None and tri.shape[0] > 0
+    grid_tri = (grid is not None and bool(grid.get("tri"))
+                and tri.shape[0] > 0)
+    sph_grid = grid.get("sph") if grid is not None else None
+    grid_streamed = bool(grid.get("streamed")) if grid is not None else False
     stream_sph = sph_chunks is not None and sph.shape[0] > 0
     assert not (stream_tri and grid_tri), \
-        "triangle table is either chunk-streamed or grid-resident, not both"
+        "triangle table is either chunk-streamed or grid-mode, not both"
+    assert not (stream_sph and sph_grid), \
+        "sphere table is either chunk-streamed or grid-mode, not both"
     n_args = dict(n_rays=R, spp=spp, width=width, bounces=bounces,
                   n_sph=sph.shape[0], n_tri=tri.shape[0],
                   n_mat=mat.shape[0], n_lig=lig.shape[0],
@@ -1125,9 +1315,11 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                   stream_tri=stream_tri,
                   n_chunks=(tri.shape[0] // STREAM_CHUNK
                             if stream_tri else 0),
-                  grid_tri=grid_tri,
-                  grid_n=(grid[3] if grid_tri else (1, 1, 1)),
-                  grid_start=(grid[4] if grid_tri else 0),
+                  tri_grids=(tuple(tuple(e[3]) for e in grid["tri"])
+                             if grid_tri else ()),
+                  grid_streamed=grid_streamed,
+                  grid_start=(grid["start"] if grid_tri else 0),
+                  sph_grid_n=(tuple(sph_grid[3]) if sph_grid else ()),
                   block=block,
                   stream_sph=stream_sph,
                   n_sph_chunks=(sph.shape[0] // STREAM_CHUNK
@@ -1156,24 +1348,42 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
     sph, tri, mat, lig = map(nonempty, (sph, tri, mat, lig))
     if chunks is None:
         chunks = jnp.zeros((1, 8), jnp.float32)
-    tri_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream_tri \
-        else (smem if grid_tri else table_spec(tri))
-    sph_spec = pl.BlockSpec(memory_space=pltpu.ANY) if stream_sph \
-        else table_spec(sph)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    tri_spec = any_spec if stream_tri \
+        else (smem if (grid_tri and not grid_streamed) else table_spec(tri))
+    sph_spec = any_spec if stream_sph else table_spec(sph)
     in_specs = [smem, smem, sph_spec, tri_spec, smem,
                 table_spec(mat), table_spec(lig)]
     args = [ipar, par, sph, tri, chunks, mat, lig]
     if grid_tri:
-        # CSR offsets + item ids + [pmin, cell width] + tight cell AABBs —
-        # all SMEM scalars
-        goff, gitems, gpar, gb = grid[0], grid[1], grid[2], grid[5]
-        assert tri.size <= SMEM_TABLE_MAX, \
-            "grid-mode triangle table must be SMEM-resident"
-        if gitems.shape[0] == 0:
-            gitems = jnp.zeros((1,), jnp.int32)
-        in_specs += [smem, smem, smem, smem]
-        args += [goff.astype(jnp.int32), gitems.astype(jnp.int32),
-                 gpar.astype(jnp.float32), gb.astype(jnp.float32)]
+        if not grid_streamed:
+            # RESIDENT grids: CSR offsets + item ids into the SMEM tri
+            # table + [pmin, cell width] + tight cell AABBs — SMEM scalars
+            assert tri.size <= SMEM_TABLE_MAX, \
+                "resident grid-mode triangle table must be SMEM-resident"
+        for (goff, payload, gpar_g, _n, gb_g) in grid["tri"]:
+            if grid_streamed:
+                # STREAMED grids: cell-major duplicated row table in HBM
+                # (the reference's per-cell buffer layout), padded with
+                # >= GRID_CHUNK zero rows so fixed-size DMA never overruns
+                in_specs += [smem, smem, smem, any_spec]
+                args += [goff.astype(jnp.int32),
+                         gpar_g.astype(jnp.float32),
+                         gb_g.astype(jnp.float32),
+                         payload.astype(jnp.float32)]
+            else:
+                gitems = payload
+                if gitems.shape[0] == 0:
+                    gitems = jnp.zeros((1,), jnp.int32)
+                in_specs += [smem, smem, smem, smem]
+                args += [goff.astype(jnp.int32), gitems.astype(jnp.int32),
+                         gpar_g.astype(jnp.float32),
+                         gb_g.astype(jnp.float32)]
+    if sph_grid:
+        sgoff, sgtab, sgpar, _sn, sgb = sph_grid
+        in_specs += [smem, smem, smem, any_spec]
+        args += [sgoff.astype(jnp.int32), sgpar.astype(jnp.float32),
+                 sgb.astype(jnp.float32), sgtab.astype(jnp.float32)]
     if stream_sph:
         in_specs.append(smem)
         args.append(sph_chunks.astype(jnp.float32))
@@ -1195,9 +1405,12 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
     if stream_sph:
         scratch_shapes.append(
             pltpu.SMEM((STREAM_CHUNK, sph.shape[1]), jnp.float32))
-    if stream_tri or stream_sph:
+    if grid_streamed or sph_grid:
+        scratch_shapes.append(
+            pltpu.SMEM((GRID_CHUNK, 128), jnp.float32))
+    if stream_tri or stream_sph or grid_streamed or sph_grid:
         scratch_shapes.append(pltpu.SemaphoreType.DMA)
-    if stream_tri or stream_sph or grid_tri:
+    if stream_tri or stream_sph or grid_tri or sph_grid:
         scratch_shapes += [
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bt / occ
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bnx

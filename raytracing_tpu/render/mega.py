@@ -158,21 +158,72 @@ def scene_tables(scene: Scene, cfg: RenderConfig
     return par, sph, tri, mat, lig
 
 
-def grid_tables(scene: Scene
-                ) -> tuple[Array, Array, Array, tuple, int, Array]:
-    """(goff, gitems, gpar, n, start, cell_bounds) for the megakernel's
-    grid mode, from the folded triangle grid (accel.prepare_grids +
-    mega_order_grid: front-to-back cell order, tight per-cell AABBs).
-    gpar = [pmin xyz, cell width xyz]; all tables are SMEM scalars in the
-    kernel. Triangles below ``start`` (scene tris/walls) run the kernel's
-    brute loop."""
-    g = scene.folded_tri_grid
+def _gpar_of(g) -> Array:
     nv = jnp.asarray(g.n, jnp.float32)
     width = (g.pmax - g.pmin) / nv
     width = jnp.where(width <= 0.0, 1e-30, width)
-    gpar = jnp.concatenate([g.pmin, width]).astype(jnp.float32)
-    return (g.cell_offsets, g.item_indices, gpar, g.n, g.start,
-            g.cell_bounds)
+    return jnp.concatenate([g.pmin, width]).astype(jnp.float32)
+
+
+def _cell_major_table(rows: Array, g) -> Array:
+    """Cell-major duplicated row table for a STREAMED grid: gather the
+    packed object rows by the grid's CSR payload (items concatenated per
+    cell in visit order — exactly the reference's re-vendored per-cell
+    buffers, splitTriangleData code.js:1643-1772), pad columns to the
+    128-lane DMA tiling and append GRID_CHUNK zero rows so fixed-size
+    cell DMAs never overrun."""
+    tab = rows[g.item_indices]          # indices absolute into ``rows``
+    if tab.shape[1] < 128:
+        tab = jnp.concatenate(
+            [tab, jnp.zeros((tab.shape[0], 128 - tab.shape[1]),
+                            tab.dtype)], -1)
+    pad = jnp.zeros((MK.GRID_CHUNK, 128), tab.dtype)
+    return jnp.concatenate([tab, pad]).astype(jnp.float32)
+
+
+def grid_tables(scene: Scene, tri: Array, sph: Array
+                ) -> tuple[dict, Array, Array]:
+    """Megakernel grid-mode tables -> (grid_dict, tri_table, sph_table).
+
+    grid_dict = {"start", "streamed", "tri": [(goff, payload, gpar, n,
+    cell_bounds), ...], "sph": (goff, gtab, gpar, n, cell_bounds) | None}
+    — one entry per large mesh (per-mesh nslabs from the XML, the
+    reference's meshTrace dispatch) from accel.prepare_grids +
+    mega_order_grid (front-to-back cells, tight per-cell AABBs).
+
+    RESIDENT (whole tri table fits SMEM): payload = CSR item ids into the
+    SMEM table; tri is returned unchanged. STREAMED (big assets): payload
+    = the cell-major duplicated HBM row table and ``tri`` shrinks to the
+    brute prefix (scene tris/walls — triangles below ``start``).
+
+    A mega sphere grid (molecule-scale scenes) is attached when the
+    sphere table is beyond the SMEM budget and prepare_grids built one;
+    the returned sph table is then a dummy row (the kernel reads spheres
+    only from the grid's cell-major table)."""
+    grids = scene.folded_tri_grid or ()
+    streamed = tri.size > MK.SMEM_TABLE_MAX and bool(grids)
+    tri_list = []
+    start = grids[0].start if grids else tri.shape[0]
+    for g in grids:
+        # streamed: gather the grid's cell-major rows from the FULL packed
+        # table (item indices are absolute into the fold)
+        payload = (_cell_major_table(tri, g) if streamed
+                   else g.item_indices)
+        tri_list.append((g.cell_offsets, payload, _gpar_of(g), g.n,
+                         g.cell_bounds))
+    sph_entry = None
+    if (scene.mega_sph_grid is not None
+            and sph.size > MK.SMEM_TABLE_MAX):
+        gs = scene.mega_sph_grid
+        sgtab = _cell_major_table(sph, gs)
+        sph_entry = (gs.cell_offsets, sgtab, _gpar_of(gs), gs.n,
+                     gs.cell_bounds)
+        sph = jnp.zeros((1, 8), jnp.float32)
+    if streamed:
+        tri = tri[:start]
+    grid = dict(start=start if tri_list else 0, streamed=streamed,
+                tri=tri_list, sph=sph_entry)
+    return grid, tri, sph
 
 
 def _effective_block(cfg: RenderConfig) -> int:
@@ -246,8 +297,10 @@ def supported(scene: Scene | None, cfg: RenderConfig) -> bool:
     from ..render.stages import _all_triangles
     tri_count = _all_triangles(scene).count
     if cfg.use_grid:
-        # grid mode: SMEM-resident triangle table + prepared folded grid
-        if scene.folded_tri_grid is None or tri_count * 32 > MK.SMEM_TABLE_MAX:
+        # grid mode needs a prepared folded grid when triangles exist;
+        # tables beyond SMEM run the STREAMED grid (cell-major HBM rows,
+        # per-cell DMA) — no size cap any more
+        if tri_count and scene.folded_tri_grid is None:
             return False
     # object tables of any size are covered: SMEM-resident up to the
     # budget, Morton-chunk STREAMING with tile-level AABB culling beyond it
@@ -319,10 +372,12 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
     chunks = grid = sphc = None
     if cfg.use_grid:
-        grid = grid_tables(scene)
+        grid, tri, sph = grid_tables(scene, tri, sph)
     elif tri.shape[0] > MK.STREAM_MIN_TRIS:
         tri, chunks = tri_chunk_tables(scene, tri, _all_triangles(scene))
     if sph.size > MK.SMEM_TABLE_MAX:
+        # molecules without a mega sphere grid fall back to Morton-chunk
+        # streaming (grid-covered sphere tables were already swapped out)
         sph, sphc = sph_chunk_tables(sph, scene)
     ipar = jnp.stack([jnp.asarray(state["passes"], jnp.int32),
                       jnp.asarray(ray_offset, jnp.int32)])
@@ -395,7 +450,7 @@ def render_direct_mega(scene: Scene, cfg: RenderConfig,
     par, sph, tri, mat, lig = scene_tables(scene, cfg)
     chunks = grid = sphc = None
     if cfg.use_grid:
-        grid = grid_tables(scene)
+        grid, tri, sph = grid_tables(scene, tri, sph)
     elif tri.shape[0] > MK.STREAM_MIN_TRIS:
         tri, chunks = tri_chunk_tables(scene, tri, _all_triangles(scene))
     if sph.size > MK.SMEM_TABLE_MAX:

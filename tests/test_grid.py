@@ -50,7 +50,8 @@ def test_csr_native_matches_python(rng):
 
 
 @pytest.mark.parametrize("method", ["march", "dense"])
-@pytest.mark.parametrize("n_slabs", [1, 2, 4])
+@pytest.mark.parametrize("n_slabs", [1, 2, 4, 5])  # 5^3 = 125 cells
+# exercises the march's row-GATHER cell fetch (> GATHER_MIN_CELLS)
 def test_grid_spheres_match_brute(rng, n_slabs, method):
     S, R = 30, 200
     cen = rng.uniform(-2, 2, (S, 3)).astype(np.float32)
@@ -69,7 +70,7 @@ def test_grid_spheres_match_brute(rng, n_slabs, method):
 
 
 @pytest.mark.parametrize("method", ["march", "dense"])
-@pytest.mark.parametrize("n_slabs", [1, 3])
+@pytest.mark.parametrize("n_slabs", [1, 3, 5])  # 5^3: gather cell fetch
 @pytest.mark.parametrize("two_sided", [False, True])
 def test_grid_triangles_match_brute(rng, n_slabs, two_sided, method):
     T, R = 25, 200

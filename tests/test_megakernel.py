@@ -250,7 +250,10 @@ def _teapot_scene(cols=48, rows=36, n_slabs=4):
         pytest.skip("reference cornell_teapot.xml not available "
                     "(set RT_REFERENCE_DIR)")
     scene = load_scene(xml, cols, rows)
-    return prepare_grids(scene, n_slabs)
+    # override the XML per-mesh nslabs (teapot 10^3) so interpret-mode
+    # traversals stay cheap; XML fidelity is covered by the dedicated
+    # per-mesh-nslabs tests below
+    return prepare_grids(scene, n_slabs, mesh_slabs=n_slabs)
 
 
 def test_grid_mode_matches_xla_grid_and_brute():
@@ -335,3 +338,102 @@ def test_sphere_streaming_matches_unstreamed(monkeypatch):
     xla = pathtracer._render_pass(scene, st, cfg)
     d = np.abs(np.asarray(got["acc"]) - np.asarray(xla["acc"])).max(-1)
     assert (d < 1e-3).mean() > 0.98
+
+
+def _shift_mesh(m, d, nslabs):
+    import dataclasses
+    d = jnp.asarray(d, jnp.float32)
+    tris = dataclasses.replace(m.tris, v=m.tris.v + d)
+    return dataclasses.replace(m, tris=tris, bounds_min=m.bounds_min + d,
+                               bounds_max=m.bounds_max + d, nslabs=nslabs)
+
+
+def _two_teapot_scene(cols=16, rows=12, ns=(3, 4)):
+    """Two large-mesh instances with DIFFERENT per-mesh grid resolutions
+    (the reference's per-mesh nslabs dispatch, code.js:1293-1303)."""
+    import dataclasses
+    import os
+
+    from raytracing_tpu.accel import prepare_grids
+    from raytracing_tpu.io.scene_xml import load_scene
+    from raytracing_tpu.models.assignments import REF_ROOT
+    xml = os.path.join(REF_ROOT,
+                       "Assign10-Path_Tracing/scenes/cornell_teapot.xml")
+    if not os.path.exists(xml):
+        pytest.skip("reference cornell_teapot.xml not available")
+    scene = load_scene(xml, cols, rows)
+    large = [m for m in scene.meshes if m.tris.count > 64]
+    small = tuple(m for m in scene.meshes if m.tris.count <= 64)
+    assert len(large) == 1
+    tp = large[0]
+    m1 = _shift_mesh(tp, [-0.25, 0.0, 0.0], ns[0])
+    m2 = _shift_mesh(tp, [0.3, 0.35, -0.1], ns[1])
+    scene = dataclasses.replace(scene, meshes=small + (m1, m2))
+    return prepare_grids(scene, 2, mesh_slabs="xml")
+
+
+def test_grid_mode_per_mesh_nslabs_matches_brute():
+    """Multiple in-kernel grids, one per large mesh, each with its OWN
+    resolution (per-mesh nslabs; ref meshTrace dispatch): the multi-grid
+    render must equal the brute megakernel exactly (hits idempotent)."""
+    import dataclasses
+    scene = _two_teapot_scene()
+    cfg_g = RenderConfig(width=16, height=12, spp=1, bounces=0,
+                         use_grid=True, use_megakernel=True)
+    cfg_b = dataclasses.replace(cfg_g, use_grid=False)
+    assert supported(scene, cfg_g)
+    assert len(scene.folded_tri_grid) == 2
+    assert scene.folded_tri_grid[0].n == (3, 3, 3)
+    assert scene.folded_tri_grid[1].n == (4, 4, 4)
+    st = pathtracer.init_state(cfg_g)
+    u = u_planes_for_pass(st["key"], st["passes"], cfg_g,
+                          scene.lights.count)
+    img_g = render_pass_mega(scene, st, cfg_g, u_planes=u, interpret=True)
+    img_b = render_pass_mega(scene, st, cfg_b, u_planes=u, interpret=True)
+    np.testing.assert_allclose(np.asarray(img_g["acc"]),
+                               np.asarray(img_b["acc"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_grid_streamed_matches_resident(monkeypatch):
+    """STREAMED grid mode (cell-major HBM row table + per-cell DMA, for
+    tables beyond the SMEM budget) must reproduce the resident grid mode
+    EXACTLY — forced by shrinking the SMEM budget."""
+    from raytracing_tpu.ops.pallas import megakernel as MK
+    scene = _teapot_scene(16, 12, n_slabs=3)
+    cfg = RenderConfig(width=16, height=12, spp=1, bounces=0,
+                       use_grid=True, use_megakernel=True)
+    st = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(st["key"], st["passes"], cfg, scene.lights.count)
+    ref = render_pass_mega(scene, st, cfg, u_planes=u, interpret=True)
+    monkeypatch.setattr(MK, "SMEM_TABLE_MAX", 256)
+    got = render_pass_mega(scene, st, cfg, u_planes=u, interpret=True)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(np.asarray(got["acc"]),
+                                  np.asarray(ref["acc"]))
+
+
+def test_sphere_grid_matches_brute(monkeypatch):
+    """In-kernel SPHERE grid (molecule-scale scenes; ref splitSphereData)
+    must reproduce the brute megakernel exactly. Activated by forcing the
+    sphere table past the (shrunk) SMEM budget with a prepared
+    mega_sph_grid."""
+    import dataclasses
+
+    from raytracing_tpu.accel import prepare_grids
+    from raytracing_tpu.models.scenes import sphere_field
+    from raytracing_tpu.ops.pallas import megakernel as MK
+    scene = sphere_field(300, cols=24, rows=16)
+    cfg = RenderConfig(width=24, height=16, spp=1, bounces=1)
+    st = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(st["key"], st["passes"], cfg, scene.lights.count)
+    ref = render_pass_mega(scene, st, cfg, u_planes=u, interpret=True)
+
+    scene_g = prepare_grids(scene, 1)
+    assert scene_g.mega_sph_grid is not None
+    cfg_g = dataclasses.replace(cfg, use_grid=True)
+    monkeypatch.setattr(MK, "SMEM_TABLE_MAX", 64)
+    got = render_pass_mega(scene_g, st, cfg_g, u_planes=u, interpret=True)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(np.asarray(got["acc"]),
+                                  np.asarray(ref["acc"]))
