@@ -88,18 +88,31 @@ def _materialize_draws(u_ref, shape, *, spp, n_lig, bounces, rr, mode,
 # Value-based tile program (the forward math as a differentiable function)
 # ---------------------------------------------------------------------------
 
-def _primary_rays(P, next_pair, ridf, in_range, *, spp: int, width: int):
+def _primary_rays(P, next_pair, ridf, in_range, *, spp: int, width: int,
+                  block: int = 0):
     """Thin-lens primary rays + scene-AABB clip, shared by the hard and
     soft tile programs. Math identical to the forward kernel
     (megakernel._render_pass_kernel film/lens/clip chain; ref getRay
-    code.cl:108-119, getThinLensRay 183-197, initTrace clip 495-501)."""
+    code.cl:108-119, getThinLensRay 183-197, initTrace clip 495-501).
+    ``block``: the kernel's blocked pixel decode (cfg.mega_block)."""
     shape = ridf.shape
     sppf = jnp.float32(spp)
     pix = jnp.floor(ridf / sppf)
     samp = ridf - pix * sppf
     wf = jnp.float32(width)
-    rowf = jnp.floor(pix / wf)
-    colf = pix - rowf * wf
+    if block:
+        pbf = jnp.float32(block * block)
+        bprf = jnp.float32(width // block)
+        bidf = jnp.floor(pix / pbf)
+        w_in = pix - bidf * pbf
+        browf = jnp.floor(bidf / bprf)
+        bcolf = bidf - browf * bprf
+        wrowf = jnp.floor(w_in / jnp.float32(block))
+        rowf = browf * block + wrowf
+        colf = bcolf * block + (w_in - wrowf * block)
+    else:
+        rowf = jnp.floor(pix / wf)
+        colf = pix - rowf * wf
 
     ex, ey, ez = P("eye"), P("eye", 1), P("eye", 2)
     ux, uy, uz = P("u"), P("u", 1), P("u", 2)
@@ -170,8 +183,11 @@ def _loop_diff(table, n, step, carry, windows=None):
     each chunk is wrapped in ``lax.cond(overlap, scan, skip)`` so the
     backward pays only for chunks the forward streaming kernel would have
     fetched (same conservative tile-level culling; lax.cond's VJP replays
-    only the taken branch). Padding rows must be no-ops for ``step``
-    (mask column 0 — guaranteed by the streaming table builders)."""
+    only the taken branch). ``overlap_fn(chunk_aabbs, ci, carry)`` must
+    read the AABB row via SCALAR indexing (chunk_aabbs may be an SMEM ref
+    inside the Pallas backward kernel — vector SMEM loads don't lower).
+    Padding rows must be no-ops for ``step`` (mask column 0 — guaranteed
+    by the streaming table builders)."""
     if n <= MK.UNROLL_OBJECTS:
         for i in range(n):
             carry = step(table[i], carry)
@@ -199,7 +215,7 @@ def _loop_diff(table, n, step, carry, windows=None):
 
     chunk_aabbs, overlap_fn = windows
     for ci in range(nch):
-        hit = overlap_fn(chunk_aabbs[ci], carry)
+        hit = overlap_fn(chunk_aabbs, ci, carry)
         carry = jax.lax.cond(hit, lambda c, r=tb[ci]: chunk_scan(c, r),
                              lambda c: c, carry)
     return carry
@@ -210,7 +226,8 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
                   n_sph: int, n_tri: int, n_mat: int, n_lig: int,
                   two_sided: bool, normalize_emitter: bool,
                   russian_roulette: bool, rr_start_depth: int,
-                  mode: str, tri_chunks=None, sph_chunks=None):
+                  mode: str, tri_chunks=None, sph_chunks=None,
+                  block: int = 0):
     """Accumulator DELTA for one ray tile as a pure function of the scene
     tables. Same math, same order as megakernel._render_pass_kernel (which
     cites the reference kernels line-by-line); differences are only
@@ -235,7 +252,7 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
 
     eps = P("eps")
     ox, oy, oz, dx, dy, dz, mint, maxt, _ = _primary_rays(
-        P, next_pair, ridf, in_range, spp=spp, width=width)
+        P, next_pair, ridf, in_range, spp=spp, width=width, block=block)
 
     inf2 = jnp.full(shape, INF)
     zero = jnp.zeros(shape)
@@ -250,14 +267,15 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
         c = (inf2, zero, zero, zero, jnp.full(shape, -1.0))
 
-        def chunk_overlap_trace(aabb, carry):
+        def chunk_overlap_trace(chk, ci, carry):
             """Tile-level chunk culling: does any ray's live [mint,
-            min(maxt, champion)] window overlap the chunk AABB?
+            min(maxt, champion)] window overlap chunk ci's AABB?
             (megakernel.chunk_overlap semantics; stop-gradient — culling
-            is value-neutral, it only skips chunks that cannot hit)."""
+            is value-neutral, it only skips chunks that cannot hit.)
+            Scalar reads only: chk may be an SMEM ref in-kernel."""
             bt = carry[0]
-            near, far = MK._slab6(aabb[0], aabb[1], aabb[2],
-                                  aabb[3], aabb[4], aabb[5],
+            near, far = MK._slab6(chk[ci, 0], chk[ci, 1], chk[ci, 2],
+                                  chk[ci, 3], chk[ci, 4], chk[ci, 5],
                                   ox, oy, oz, safe_inv(dx), safe_inv(dy),
                                   safe_inv(dz))
             hi = jnp.minimum(maxt, bt)
@@ -350,9 +368,9 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         # uniform carry dtype (matches the forward kernel's convention)
         occ = jnp.zeros(shape)
 
-        def chunk_overlap_occ(aabb, occ):
-            near, far = MK._slab6(aabb[0], aabb[1], aabb[2],
-                                  aabb[3], aabb[4], aabb[5],
+        def chunk_overlap_occ(chk, ci, occ):
+            near, far = MK._slab6(chk[ci, 0], chk[ci, 1], chk[ci, 2],
+                                  chk[ci, 3], chk[ci, 4], chk[ci, 5],
                                   ox, oy, oz, safe_inv(dx), safe_inv(dy),
                                   safe_inv(dz))
             ov = (jnp.maximum(near, mint) <= jnp.minimum(far, maxt)) \
@@ -588,7 +606,8 @@ def _tile_program_soft(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
                        n_sph: int, n_tri: int, n_mat: int, n_lig: int,
                        two_sided: bool, normalize_emitter: bool,
                        russian_roulette: bool, rr_start_depth: int,
-                       mode: str, bandwidth: float, tau: float):
+                       mode: str, bandwidth: float, tau: float,
+                       block: int = 0):
     """Edge-aware accumulator delta for one ray tile: the Assign10
     schedule with every visibility decision SMOOTHED (diff/soft.py
     semantics, restructured to the kernel's value-based tables and draw
@@ -629,7 +648,7 @@ def _tile_program_soft(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
     eps = P("eps")
     bw = jnp.float32(bandwidth)
     ox, oy, oz, dx, dy, dz, mint, maxt, ok = _primary_rays(
-        P, next_pair, ridf, in_range, spp=spp, width=width)
+        P, next_pair, ridf, in_range, spp=spp, width=width, block=block)
 
     zero = jnp.zeros(shape)
 
@@ -972,10 +991,13 @@ def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
                 remat: bool, diff_wrt: tuple = DIFF_ALL,
                 bwd_sublanes: int = SUBLANES,
                 soft_bandwidth: float = 0.0, soft_tau: float = 0.0,
-                stream_tri: bool = False, stream_sph: bool = False):
+                stream_tri: bool = False, stream_sph: bool = False,
+                block: int = 0):
     rest = list(rest)
-    tri_chunks = rest.pop(0)[:] if stream_tri else None
-    sph_chunks = rest.pop(0)[:] if stream_sph else None
+    # keep chunk-AABB tables as REFS: the overlap fns read them scalar-
+    # wise (SMEM vector loads don't lower in Mosaic)
+    tri_chunks = rest.pop(0) if stream_tri else None
+    sph_chunks = rest.pop(0) if stream_sph else None
     if use_u:
         u_ref = rest[0]
         g_refs = rest[1:4]
@@ -1042,7 +1064,7 @@ def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
         n_mat=n_mat, n_lig=n_lig, two_sided=two_sided,
         normalize_emitter=normalize_emitter,
         russian_roulette=russian_roulette, rr_start_depth=rr_start_depth,
-        mode=mode, **soft_kw)
+        mode=mode, block=block, **soft_kw)
 
     # differentiate only the requested parameter groups (the rest are
     # closure constants — their transpose work is DCE'd away; e.g. the
@@ -1086,7 +1108,7 @@ def _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, *,
                 seed, interpret, mode, russian_roulette, rr_start_depth,
                 remat, diff_wrt=DIFF_ALL, bwd_sublanes=SUBLANES,
                 soft_bandwidth=0.0, soft_tau=0.0,
-                tri_chunks=None, sph_chunks=None):
+                tri_chunks=None, sph_chunks=None, block=0):
     """Parameter cotangents for one pass. g: (R, 3) cotangent of acc_out."""
     assert SUBLANES % bwd_sublanes == 0, \
         "backward tiles must subdivide the forward's PRNG tiles"
@@ -1109,7 +1131,7 @@ def _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, *,
               diff_wrt=tuple(diff_wrt), bwd_sublanes=bwd_sublanes,
               soft_bandwidth=soft_bandwidth, soft_tau=soft_tau,
               stream_tri=tri_chunks is not None,
-              stream_sph=sph_chunks is not None)
+              stream_sph=sph_chunks is not None, block=block)
 
     ray_block = pl.BlockSpec((bwd_sublanes, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -1172,7 +1194,7 @@ def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
                    seed, mode, russian_roulette, rr_start_depth,
                    diff_wrt=("par", "sph", "tri", "mat", "lig"),
                    soft_bandwidth=0.0, soft_tau=0.0,
-                   tri_chunks=None, sph_chunks=None):
+                   tri_chunks=None, sph_chunks=None, block=0):
     """Plain-XLA cotangents: jax.vjp of _tile_program over the whole padded
     ray set as ONE tile. Used (a) on CPU/interpret, where running the
     backward Pallas kernel through the interpreter costs minutes per call,
@@ -1222,7 +1244,8 @@ def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
             n_mat=mat.shape[0], n_lig=lig.shape[0],
             two_sided=two_sided, normalize_emitter=normalize_emitter,
             russian_roulette=russian_roulette,
-            rr_start_depth=rr_start_depth, mode=mode, **soft_kw)
+            rr_start_depth=rr_start_depth, mode=mode, block=block,
+            **soft_kw)
 
     _, vjp_fn = jax.vjp(f, *[vals[n] for n in sel])
     cot = dict(zip(sel, vjp_fn(g_planes)))
@@ -1242,19 +1265,21 @@ def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
 def _make_diff_op(spp, width, bounces, two_sided, normalize_emitter, seed,
                   interpret, mode, russian_roulette, rr_start_depth, remat,
                   diff_wrt, bwd_sublanes, soft_bandwidth=0.0, soft_tau=0.0,
-                  stream_tri=False, stream_sph=False):
+                  stream_tri=False, stream_sph=False, block=0):
     kw = dict(spp=spp, width=width, bounces=bounces, two_sided=two_sided,
               normalize_emitter=normalize_emitter, seed=seed,
               interpret=interpret, mode=mode,
               russian_roulette=russian_roulette,
               rr_start_depth=rr_start_depth)
-    soft = dict(soft_bandwidth=soft_bandwidth, soft_tau=soft_tau)
+    soft = dict(soft_bandwidth=soft_bandwidth, soft_tau=soft_tau,
+                block=block)
 
     def fwd_kw(chunks, sphc):
         # streamed tables ride the forward streaming kernel (Morton chunks
         # + tile culling + SMEM DMA); the backward replays the same chunk
         # culling at the value level (_loop_diff windows)
-        return dict(kw, chunks=chunks if stream_tri else None,
+        return dict(kw, block=block,
+                    chunks=chunks if stream_tri else None,
                     sph_chunks=sphc if stream_sph else None)
 
     def bwd_chunks(chunks, sphc):
@@ -1308,7 +1333,7 @@ def pathtrace_pass_diff(par, ipar, sph, tri, mat, lig, acc, u_planes, *,
                         remat=True, diff_wrt=DIFF_ALL,
                         bwd_sublanes=SUBLANES,
                         soft_bandwidth=0.0, soft_tau=0.0,
-                        chunks=None, sph_chunks=None):
+                        chunks=None, sph_chunks=None, block=0):
     """Differentiable megakernel pass: primal = the fused forward kernel;
     backward = the fused recompute-VJP kernel above. Unrolled-table scenes
     only (see supported_diff in render/mega.py). ``diff_wrt`` restricts
@@ -1335,7 +1360,8 @@ def pathtrace_pass_diff(par, ipar, sph, tri, mat, lig, acc, u_planes, *,
                        seed, interpret, mode, russian_roulette,
                        rr_start_depth, remat, tuple(diff_wrt),
                        bwd_sublanes, float(soft_bandwidth), float(soft_tau),
-                       chunks is not None, sph_chunks is not None)
+                       chunks is not None, sph_chunks is not None,
+                       int(block))
     dummy = jnp.zeros((1, 8), jnp.float32)
     return op(par, ipar, sph, tri, mat, lig, acc, u_planes,
               dummy if chunks is None else chunks,

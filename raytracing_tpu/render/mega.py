@@ -393,16 +393,30 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
         # ops/pallas/megakernel_grad.py). jax.grad through this render
         # works; gradients flow to camera, spheres, triangles, materials
         # and lights via the scene_tables packing (streamed tables are
-        # un-permuted by AD through the Morton gather).
+        # un-permuted by AD through the Morton gather). Blocked pixel
+        # layout is honored (single-shard): the gathers are part of the
+        # traced graph, so AD un-permutes the cotangents itself.
         from ..ops.pallas.megakernel_grad import pathtrace_pass_diff
         tau = cfg.mega_edge_tau or cfg.mega_edge_bandwidth
+        blk = _effective_block(cfg)
+        if blk and (state["acc"].shape[0] != cfg.total_rays
+                    or not isinstance(ray_offset, int) or ray_offset != 0):
+            blk = 0          # sharded acc: permutation would cross shards
+        acc_in = state["acc"]
+        if blk:
+            s2r, r2s = _ray_perms(cfg, blk)
+            acc_in = acc_in[s2r]
+            if u_planes is not None:
+                u_planes = u_planes[:, s2r]
         acc = pathtrace_pass_diff(par, ipar, sph, tri, mat, lig,
-                                  state["acc"], u_planes,
+                                  acc_in, u_planes,
                                   diff_wrt=cfg.mega_grad_wrt,
                                   bwd_sublanes=cfg.mega_bwd_sublanes,
                                   soft_bandwidth=cfg.mega_edge_bandwidth,
                                   soft_tau=tau, chunks=chunks,
-                                  sph_chunks=sphc, **kw)
+                                  sph_chunks=sphc, block=blk, **kw)
+        if blk:
+            acc = acc[r2s]
     else:
         # blocked pixel layout (forward-only, single-shard): acc stays
         # row-major as the package invariant; gather to slot order around

@@ -56,6 +56,7 @@ _SLOW = {
     "test_diff_grads_match_xla_bounced", "test_diff_grads_match_xla_rr",
     "test_diff_wrt_subset", "test_diff_grads_match_xla_streamed_tris",
     "test_diff_grads_match_xla_large_sphere_table",
+    "test_diff_blocked_layout_matches_unblocked",
     # 8-device virtual mesh
     "test_sharded_render_matches_single_device",
     "test_train_step_grads_match_single_device",

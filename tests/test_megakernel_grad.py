@@ -165,6 +165,30 @@ def test_diff_grads_match_xla_streamed_tris(scene):
     _compare(big, cfg)
 
 
+def test_diff_blocked_layout_matches_unblocked(scene):
+    """cfg.mega_block through the DIFFERENTIABLE path (round-2 weak #5:
+    blocking used to silently drop under diff): values and grads must
+    match the unblocked render — the s2r/r2s gathers are in the traced
+    graph, so AD un-permutes the cotangents."""
+    cfg0 = RenderConfig(width=32, height=24, spp=1, bounces=1)
+    cfgB = dataclasses.replace(cfg0, mega_block=8)
+    state0 = pathtracer.init_state(cfg0)
+    u = u_planes_for_pass(state0["key"], state0["passes"], cfg0,
+                          scene.lights.count)
+    v0, g0 = _grads(scene, cfg0,
+                    lambda sc, st: render_pass_mega(sc, st, cfg0,
+                                                    u_planes=u,
+                                                    interpret=True))
+    vB, gB = _grads(scene, cfgB,
+                    lambda sc, st: render_pass_mega(sc, st, cfgB,
+                                                    u_planes=u,
+                                                    interpret=True))
+    np.testing.assert_allclose(float(vB), float(v0), rtol=1e-6)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(gB[k]), np.asarray(g0[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_diff_grads_match_xla_large_sphere_table():
     """Sphere table past the unroll budget (200 spheres): the backward
     scans chunks (no AABB windows — spheres below the streaming threshold
