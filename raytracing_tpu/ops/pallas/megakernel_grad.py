@@ -174,7 +174,7 @@ def _primary_rays(P, next_pair, ridf, in_range, *, spp: int, width: int,
 DIFF_CHUNK = 128
 
 
-def _loop_diff(table, n, step, carry, windows=None):
+def _loop_diff(table, n, step, carry, windows=None, captures=()):
     """Reverse-differentiable object loop over ``table[:n]`` rows.
 
     Small tables unroll with static row reads (identical jaxpr to the
@@ -186,11 +186,15 @@ def _loop_diff(table, n, step, carry, windows=None):
     only the taken branch). ``overlap_fn(chunk_aabbs, ci, carry)`` must
     read the AABB row via SCALAR indexing (chunk_aabbs may be an SMEM ref
     inside the Pallas backward kernel — vector SMEM loads don't lower).
-    Padding rows must be no-ops for ``step`` (mask column 0 — guaranteed
-    by the streaming table builders)."""
+    ``step(row, carry, captures)`` must take every DIFFERENTIABLE value it
+    reads from the surrounding trace (ray origins/dirs/windows, hoisted
+    products) through the ``captures`` pytree — the checkpointed chunk is
+    a custom_vjp, which cannot differentiate closed-over tracers. Padding
+    rows must be no-ops for ``step`` (mask column 0 — guaranteed by the
+    streaming table builders)."""
     if n <= MK.UNROLL_OBJECTS:
         for i in range(n):
-            carry = step(table[i], carry)
+            carry = step(table[i], carry, captures)
         return carry
     C = DIFF_CHUNK
     nch = -(-n // C)
@@ -200,23 +204,42 @@ def _loop_diff(table, n, step, carry, windows=None):
         tb = jnp.concatenate([tb, jnp.zeros((nch * C - n, F), table.dtype)])
     tb = tb.reshape(nch, C, F)
 
-    @jax.checkpoint
-    def chunk_scan(carry, rows):
+    def run_chunk(carry, rows, captures):
         def inner(c, row):
-            return step(row, c), None
+            return step(row, c, captures), None
         c, _ = jax.lax.scan(inner, carry, rows)
         return c
 
+    # hand-rolled checkpoint: save only (carry, rows, captures) and
+    # recompute the chunk's vjp in the backward. jax.checkpoint would do
+    # the same but lowers to a closed_call primitive Mosaic cannot lower
+    # inside the Pallas backward kernel; after AD this custom_vjp leaves
+    # only plain scan/elementwise ops in the jaxpr.
+    @jax.custom_vjp
+    def chunk_scan(carry, rows, captures):
+        return run_chunk(carry, rows, captures)
+
+    def chunk_fwd(carry, rows, captures):
+        return run_chunk(carry, rows, captures), (carry, rows, captures)
+
+    def chunk_bwd(res, g):
+        carry, rows, captures = res
+        _, vjp = jax.vjp(run_chunk, carry, rows, captures)
+        return vjp(g)
+
+    chunk_scan.defvjp(chunk_fwd, chunk_bwd)
+
     if windows is None:
         def outer(carry, rows):
-            return chunk_scan(carry, rows), None
+            return chunk_scan(carry, rows, captures), None
         carry, _ = jax.lax.scan(outer, carry, tb)
         return carry
 
     chunk_aabbs, overlap_fn = windows
     for ci in range(nch):
         hit = overlap_fn(chunk_aabbs, ci, carry)
-        carry = jax.lax.cond(hit, lambda c, r=tb[ci]: chunk_scan(c, r),
+        carry = jax.lax.cond(hit,
+                             lambda c, r=tb[ci]: chunk_scan(c, r, captures),
                              lambda c: c, carry)
     return carry
 
@@ -282,7 +305,11 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
             ov = (jnp.maximum(near, mint) <= jnp.minimum(far, hi)) & alive
             return jax.lax.stop_gradient(jnp.any(ov))
 
-        def sph_step(row, c):
+        caps = (ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, xx, xy_, xz_)
+
+        def sph_step(row, c, cap):
+            ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, _, _, _ = cap
+            alive = mint != maxt
             bt, bnx, bny, bnz, bm = c
             scx, scy, scz = row[0], row[1], row[2]
             r, mf, msk = row[3], row[4], row[5]
@@ -311,7 +338,9 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
                     jnp.where(better, hnz, bnz),
                     jnp.where(better, mf, bm))
 
-        def tri_step(row, c):
+        def tri_step(row, c, cap):
+            ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, xx, xy_, xz_ = cap
+            alive = mint != maxt
             bt, bnx, bny, bnz, bm = c
             ngx, ngy, ngz = row[0], row[1], row[2]
             c1x, c1y, c1z = row[3], row[4], row[5]
@@ -347,8 +376,10 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
             if sph_chunks is not None else None
         tri_w = (tri_chunks, chunk_overlap_trace) \
             if tri_chunks is not None else None
-        c = _loop_diff(sph, n_sph, sph_step, c, windows=sph_w)
-        c = _loop_diff(tri, n_tri, tri_step, c, windows=tri_w)
+        c = _loop_diff(sph, n_sph, sph_step, c, windows=sph_w,
+                       captures=caps)
+        c = _loop_diff(tri, n_tri, tri_step, c, windows=tri_w,
+                       captures=caps)
 
         bt, bnx, bny, bnz, bm = c
         found = bm >= 0.0
@@ -377,7 +408,11 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
                 & alive & (occ == 0.0)
             return jax.lax.stop_gradient(jnp.any(ov))
 
-        def sph_occ(row, occ):
+        caps = (ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, xx, xy_, xz_)
+
+        def sph_occ(row, occ, cap):
+            ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, _, _, _ = cap
+            alive = mint != maxt
             scx, scy, scz = row[0], row[1], row[2]
             r, msk = row[3], row[5]
             mx = ox - scx
@@ -396,7 +431,9 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
             return jnp.where(hit & (dis >= 0.0) & (msk > 0.0) & alive,
                              1.0, occ)
 
-        def tri_occ(row, occ):
+        def tri_occ(row, occ, cap):
+            ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, xx, xy_, xz_ = cap
+            alive = mint != maxt
             ngx, ngy, ngz = row[0], row[1], row[2]
             c1x, c1y, c1z = row[3], row[4], row[5]
             c2x, c2y, c2z = row[6], row[7], row[8]
@@ -420,8 +457,10 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
             if sph_chunks is not None else None
         tri_w = (tri_chunks, chunk_overlap_occ) \
             if tri_chunks is not None else None
-        occ = _loop_diff(sph, n_sph, sph_occ, occ, windows=sph_w)
-        occ = _loop_diff(tri, n_tri, tri_occ, occ, windows=tri_w)
+        occ = _loop_diff(sph, n_sph, sph_occ, occ, windows=sph_w,
+                         captures=caps)
+        occ = _loop_diff(tri, n_tri, tri_occ, occ, windows=tri_w,
+                         captures=caps)
         return occ > 0.0
 
     def albedo_of(mf):
