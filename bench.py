@@ -184,10 +184,12 @@ def _config_bench(jax, config: int, width: int, height: int) -> None:
         # mode of the megakernel; steady-state progressive accumulation
         # like config 2 (all passes in one jit call)
         ref_root = os.environ.get("RT_REFERENCE_DIR", "/root/reference")
+        ms = os.environ.get("BENCH_MESH_SLABS", "xml")
         render, args, cfg = A.assign07(
             width, height, n_slabs=int(os.environ.get("BENCH_NSLABS", "3")),
             scene_xml=os.path.join(ref_root, "Assign10-Path_Tracing/scenes/"
-                                             "cornell_teapot.xml"))
+                                             "cornell_teapot.xml"),
+            mesh_slabs=ms if ms == "xml" else int(ms))
         kw["n_passes"] = int(os.environ.get("BENCH_PASSES", "16"))
         name, work = "mesh_grid_dda", None
     elif config == 4:

@@ -152,16 +152,19 @@ def assign06(cols=512, rows=512, n_slabs=8):
     return render_direct, (scene, cfg), cfg
 
 
-def assign07(cols=512, rows=512, n_slabs=4, scene_xml: str | None = None):
+def assign07(cols=512, rows=512, n_slabs=4, scene_xml: str | None = None,
+             mesh_slabs: int | str = "xml"):
     """Full 3-D uniform grid DDA. ``scene_xml`` swaps in a mesh-instancing
     XML scene (e.g. cornell_teapot.xml — the asset class the reference's
-    grid exists for); the folded mesh grid then gets ``n_slabs`` while the
-    walls run brute, mirroring the reference's triangleTrace/meshTrace
-    dispatch split (code.js:1293-1303)."""
+    grid exists for); each large mesh then gets its own grid at its XML
+    ``nslabs`` (``mesh_slabs="xml"``, the reference's per-mesh meshTrace
+    dispatch) or at an int override, while the walls run brute
+    (code.js:1293-1303)."""
     if scene_xml is not None:
         from ..accel import prepare_grids
         from ..io.scene_xml import load_scene
-        scene = prepare_grids(load_scene(scene_xml, cols, rows), n_slabs)
+        scene = prepare_grids(load_scene(scene_xml, cols, rows), n_slabs,
+                              mesh_slabs=mesh_slabs)
         cfg = RenderConfig(width=cols, height=rows, spp=1, bounces=0,
                            use_grid=True, n_slabs=n_slabs,
                            use_megakernel=True, mega_block=64)

@@ -235,12 +235,19 @@ def _loop_diff(table, n, step, carry, windows=None, captures=()):
         carry, _ = jax.lax.scan(outer, carry, tb)
         return carry
 
+    # every branch value rides as an explicit cond OPERAND: Mosaic's cond
+    # lowering rejects branch jaxprs with constvars (closed-over arrays)
+    def take_chunk(c, rows, caps):
+        return chunk_scan(c, rows, caps)
+
+    def skip_chunk(c, rows, caps):
+        return c
+
     chunk_aabbs, overlap_fn = windows
     for ci in range(nch):
         hit = overlap_fn(chunk_aabbs, ci, carry)
-        carry = jax.lax.cond(hit,
-                             lambda c, r=tb[ci]: chunk_scan(c, r, captures),
-                             lambda c: c, carry)
+        carry = jax.lax.cond(hit, take_chunk, skip_chunk,
+                             carry, tb[ci], captures)
     return carry
 
 
@@ -324,9 +331,11 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
             t1 = (-b + sq) * inv2a
             tmn = jnp.minimum(t0, t1)
             tmx = jnp.maximum(t0, t1)
+            # scalar INF literal, NOT the inf2 closure array: step bodies
+            # run inside cond branches whose jaxprs must be constvar-free
             t = jnp.where((tmn >= mint) & (tmn <= maxt), tmn,
-                          jnp.where((tmx >= mint) & (tmx <= maxt), tmx, inf2))
-            t = jnp.where((dis >= 0.0) & (msk > 0.0) & alive, t, inf2)
+                          jnp.where((tmx >= mint) & (tmx <= maxt), tmx, INF))
+            t = jnp.where((dis >= 0.0) & (msk > 0.0) & alive, t, INF)
             better = t < bt
             ts = jnp.where(better, t, 0.0)
             hnx, hny, hnz = _normalize3(ox + ts * dx - scx,
@@ -359,7 +368,7 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
             okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
                 & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
                 & (msk > 0.0) & alive
-            t = jnp.where(okh, t, inf2)
+            t = jnp.where(okh, t, INF)   # scalar literal (constvar-free)
             better = t < bt
             alpha = 1.0 - beta - gamma
             hnx = alpha * row[18] + beta * row[21] + gamma * row[24]
