@@ -41,7 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exposure", type=float, default=1.8)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--grid", type=int, default=0, metavar="N",
-                   help="use N^3 uniform-grid acceleration (0 = brute force)")
+                   help="use N^3 uniform-grid acceleration (0 = brute "
+                        "force); mesh instances get their own grids at "
+                        "their XML nslabs")
+    p.add_argument("--mesh-slabs", default="xml", metavar="N|xml",
+                   help="per-mesh grid resolution: 'xml' honors each "
+                        "mesh's nslabs (reference dispatch), an int "
+                        "overrides all meshes")
     p.add_argument("--pallas", action="store_true",
                    help="use fused Pallas closest-hit kernels")
     p.add_argument("--no-megakernel", action="store_true",
@@ -117,7 +123,9 @@ def main(argv=None) -> int:
                        mega_block=args.block)
     if args.grid > 0:
         from .accel import prepare_grids
-        scene = prepare_grids(scene, args.grid)
+        ms = args.mesh_slabs
+        scene = prepare_grids(scene, args.grid,
+                              mesh_slabs=ms if ms == "xml" else int(ms))
 
     print(f"device: {jax.devices()[0].platform} "
           f"({jax.devices()[0].device_kind})")
