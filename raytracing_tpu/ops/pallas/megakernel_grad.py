@@ -174,28 +174,54 @@ def _primary_rays(P, next_pair, ridf, in_range, *, spp: int, width: int,
 DIFF_CHUNK = 128
 
 
-def _loop_diff(table, n, step, carry, windows=None, captures=()):
+def _tree_champion(t, fields):
+    """Static log2 tree min-reduce over axis 0 of ``t`` (C, S, L),
+    carrying ``fields`` (broadcastable to t) with FIRST-INDEX tie-breaking
+    (a kept on t_a <= t_b) — identical winner to the sequential
+    strictly-less champion loop. All static slices + elementwise selects:
+    lowers in Mosaic (no scan/cumsum/argmin primitives). C must be a
+    power of two (DIFF_CHUNK padding guarantees it)."""
+    C = t.shape[0]
+    fields = [jnp.broadcast_to(f, t.shape) for f in fields]
+    while C > 1:
+        h = C // 2
+        keep_a = t[:h] <= t[h:C]
+        t = jnp.where(keep_a, t[:h], t[h:C])
+        fields = [jnp.where(keep_a, f[:h], f[h:C]) for f in fields]
+        C = h
+    return t[0], [f[0] for f in fields]
+
+
+def _loop_diff(table, n, step, carry, windows=None, captures=(),
+               chunk_fn=None):
     """Reverse-differentiable object loop over ``table[:n]`` rows.
 
-    Small tables unroll with static row reads (identical jaxpr to the
-    round-2 backward). Larger ones scan DIFF_CHUNK-row chunks under
-    jax.checkpoint; when ``windows=(chunk_aabbs, overlap_fn)`` is given,
-    each chunk is wrapped in ``lax.cond(overlap, scan, skip)`` so the
-    backward pays only for chunks the forward streaming kernel would have
-    fetched (same conservative tile-level culling; lax.cond's VJP replays
-    only the taken branch). ``overlap_fn(chunk_aabbs, ci, carry)`` must
-    read the AABB row via SCALAR indexing (chunk_aabbs may be an SMEM ref
-    inside the Pallas backward kernel — vector SMEM loads don't lower).
-    ``step(row, carry, captures)`` must take every DIFFERENTIABLE value it
-    reads from the surrounding trace (ray origins/dirs/windows, hoisted
-    products) through the ``captures`` pytree — the checkpointed chunk is
-    a custom_vjp, which cannot differentiate closed-over tracers. Padding
-    rows must be no-ops for ``step`` (mask column 0 — guaranteed by the
-    streaming table builders)."""
+    Small tables unroll ``step`` with static row reads (identical jaxpr
+    to the round-2 backward). Larger ones process DIFF_CHUNK-row chunks
+    with ``chunk_fn(carry, rows, captures)`` — a BATCHED whole-chunk
+    update ((C, S, L) broadcast candidates + tree champion merge) wrapped
+    in a hand-rolled custom_vjp checkpoint (saves only carry/rows/
+    captures, recomputes the chunk vjp in backward). Batched-not-scanned
+    because Mosaic cannot lower scans with extensive inputs, remat
+    closed_calls, or dynamic register indexing inside the Pallas backward
+    kernel — and the batched form is the vectorized TPU-native expression
+    anyway.
+
+    ``windows=(chunk_aabbs, overlap_fn)``: each chunk is wrapped in
+    ``lax.cond(overlap, chunk, skip)`` with every branch value an
+    explicit operand (Mosaic rejects branch constvars), so the backward
+    pays only for chunks the forward streaming kernel would have fetched
+    (conservative tile culling; cond's VJP replays only the taken
+    branch). ``overlap_fn(chunk_aabbs, ci, carry)`` must read AABB rows
+    via SCALAR indexing (SMEM refs in-kernel). ``step``/``chunk_fn``
+    take every differentiable outer value through ``captures`` (a
+    custom_vjp cannot differentiate closed-over tracers). Padding rows
+    must be no-ops (mask column 0 — the table builders guarantee it)."""
     if n <= MK.UNROLL_OBJECTS:
         for i in range(n):
             carry = step(table[i], carry, captures)
         return carry
+    assert chunk_fn is not None, "large tables need a batched chunk_fn"
     C = DIFF_CHUNK
     nch = -(-n // C)
     F = table.shape[1]
@@ -204,44 +230,30 @@ def _loop_diff(table, n, step, carry, windows=None, captures=()):
         tb = jnp.concatenate([tb, jnp.zeros((nch * C - n, F), table.dtype)])
     tb = tb.reshape(nch, C, F)
 
-    def run_chunk(carry, rows, captures):
-        def inner(c, row):
-            return step(row, c, captures), None
-        c, _ = jax.lax.scan(inner, carry, rows)
-        return c
-
-    # hand-rolled checkpoint: save only (carry, rows, captures) and
-    # recompute the chunk's vjp in the backward. jax.checkpoint would do
-    # the same but lowers to a closed_call primitive Mosaic cannot lower
-    # inside the Pallas backward kernel; after AD this custom_vjp leaves
-    # only plain scan/elementwise ops in the jaxpr.
     @jax.custom_vjp
-    def chunk_scan(carry, rows, captures):
-        return run_chunk(carry, rows, captures)
+    def chunk_ck(carry, rows, captures):
+        return chunk_fn(carry, rows, captures)
 
     def chunk_fwd(carry, rows, captures):
-        return run_chunk(carry, rows, captures), (carry, rows, captures)
+        return chunk_fn(carry, rows, captures), (carry, rows, captures)
 
     def chunk_bwd(res, g):
         carry, rows, captures = res
-        _, vjp = jax.vjp(run_chunk, carry, rows, captures)
+        _, vjp = jax.vjp(chunk_fn, carry, rows, captures)
         return vjp(g)
 
-    chunk_scan.defvjp(chunk_fwd, chunk_bwd)
+    chunk_ck.defvjp(chunk_fwd, chunk_bwd)
 
-    if windows is None:
-        def outer(carry, rows):
-            return chunk_scan(carry, rows, captures), None
-        carry, _ = jax.lax.scan(outer, carry, tb)
-        return carry
-
-    # every branch value rides as an explicit cond OPERAND: Mosaic's cond
-    # lowering rejects branch jaxprs with constvars (closed-over arrays)
     def take_chunk(c, rows, caps):
-        return chunk_scan(c, rows, caps)
+        return chunk_ck(c, rows, caps)
 
     def skip_chunk(c, rows, caps):
         return c
+
+    if windows is None:
+        for ci in range(nch):
+            carry = chunk_ck(carry, tb[ci], captures)
+        return carry
 
     chunk_aabbs, overlap_fn = windows
     for ci in range(nch):
@@ -249,6 +261,146 @@ def _loop_diff(table, n, step, carry, windows=None, captures=()):
         carry = jax.lax.cond(hit, take_chunk, skip_chunk,
                              carry, tb[ci], captures)
     return carry
+
+
+def _col(rows, j):
+    """(C, F) table column j broadcast-ready against (S, L) ray tiles."""
+    return rows[:, j][:, None, None]
+
+
+def _sph_chunk_trace(carry, rows, cap):
+    """Batched sphere chunk for the CLOSEST-HIT search: all C candidates
+    as (C, S, L) broadcasts + tree champion merge (math identical to the
+    scalar sph_step; same winner by first-index tie-breaking)."""
+    ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, _, _, _ = cap
+    alive = mint != maxt
+    bt, bnx, bny, bnz, bm = carry
+    scx, scy, scz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
+    r, mf, msk = _col(rows, 3), _col(rows, 4), _col(rows, 5)
+    mx = ox - scx
+    my = oy - scy
+    mz = oz - scz
+    b = 2.0 * (mx * dx + my * dy + mz * dz)
+    cq = mx * mx + my * my + mz * mz - r * r
+    dis = b * b - 4.0 * a * cq
+    sq = _safe_sqrt(dis)
+    t0 = (-b - sq) * inv2a
+    t1 = (-b + sq) * inv2a
+    tmn = jnp.minimum(t0, t1)
+    tmx = jnp.maximum(t0, t1)
+    t = jnp.where((tmn >= mint) & (tmn <= maxt), tmn,
+                  jnp.where((tmx >= mint) & (tmx <= maxt), tmx, INF))
+    t = jnp.where((dis >= 0.0) & (msk > 0.0) & alive, t, INF)
+    ts = jnp.where(t < INF, t, 0.0)
+    hnx, hny, hnz = _normalize3(ox + ts * dx - scx,
+                                oy + ts * dy - scy,
+                                oz + ts * dz - scz)
+    tc, (cnx, cny, cnz, cmf) = _tree_champion(t, [hnx, hny, hnz, mf])
+    better = tc < bt
+    return (jnp.where(better, tc, bt),
+            jnp.where(better, cnx, bnx),
+            jnp.where(better, cny, bny),
+            jnp.where(better, cnz, bnz),
+            jnp.where(better, cmf, bm))
+
+
+def _make_tri_chunk_trace(two_sided):
+    def tri_chunk(carry, rows, cap):
+        ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, xx, xy_, xz_ = cap
+        alive = mint != maxt
+        bt, bnx, bny, bnz, bm = carry
+        ngx, ngy, ngz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
+        c1x, c1y, c1z = _col(rows, 3), _col(rows, 4), _col(rows, 5)
+        c2x, c2y, c2z = _col(rows, 6), _col(rows, 7), _col(rows, 8)
+        e1x, e1y, e1z = _col(rows, 9), _col(rows, 10), _col(rows, 11)
+        e2x, e2y, e2z = _col(rows, 12), _col(rows, 13), _col(rows, 14)
+        kk, mf, msk = _col(rows, 15), _col(rows, 16), _col(rows, 17)
+        div = ngx * dx + ngy * dy + ngz * dz
+        side_ok = (div != 0.0) if two_sided else (div > 0.0)
+        idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+        beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+        gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                 - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+        t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+        okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
+            & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
+            & (msk > 0.0) & alive
+        t = jnp.where(okh, t, INF)
+        alpha = 1.0 - beta - gamma
+        hnx = alpha * _col(rows, 18) + beta * _col(rows, 21) \
+            + gamma * _col(rows, 24)
+        hny = alpha * _col(rows, 19) + beta * _col(rows, 22) \
+            + gamma * _col(rows, 25)
+        hnz = alpha * _col(rows, 20) + beta * _col(rows, 23) \
+            + gamma * _col(rows, 26)
+        hnx, hny, hnz = _normalize3(hnx, hny, hnz)
+        tc, (cnx, cny, cnz, cmf) = _tree_champion(t, [hnx, hny, hnz, mf])
+        better = tc < bt
+        return (jnp.where(better, tc, bt),
+                jnp.where(better, cnx, bnx),
+                jnp.where(better, cny, bny),
+                jnp.where(better, cnz, bnz),
+                jnp.where(better, cmf, bm))
+
+    return tri_chunk
+
+
+def _tree_any(hit):
+    """Static log2 tree OR-fold over axis 0 (f32 0/1)."""
+    C = hit.shape[0]
+    while C > 1:
+        h = C // 2
+        hit = jnp.maximum(hit[:h], hit[h:C])
+        C = h
+    return hit[0]
+
+
+def _sph_chunk_occ(occ, rows, cap):
+    ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, _, _, _ = cap
+    alive = mint != maxt
+    scx, scy, scz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
+    r, msk = _col(rows, 3), _col(rows, 5)
+    mx = ox - scx
+    my = oy - scy
+    mz = oz - scz
+    b = 2.0 * (mx * dx + my * dy + mz * dz)
+    cq = mx * mx + my * my + mz * mz - r * r
+    dis = b * b - 4.0 * a * cq
+    sq = _safe_sqrt(dis)
+    t0 = (-b - sq) * inv2a
+    t1 = (-b + sq) * inv2a
+    tmn = jnp.minimum(t0, t1)
+    tmx = jnp.maximum(t0, t1)
+    hit = ((tmn >= mint) & (tmn <= maxt)) | ((tmx >= mint) & (tmx <= maxt))
+    hit = hit & (dis >= 0.0) & (msk > 0.0) & alive
+    return jnp.maximum(occ, _tree_any(jnp.where(hit, 1.0, 0.0)))
+
+
+def _make_tri_chunk_occ(two_sided):
+    def tri_chunk_occ(occ, rows, cap):
+        ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, xx, xy_, xz_ = cap
+        alive = mint != maxt
+        ngx, ngy, ngz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
+        c1x, c1y, c1z = _col(rows, 3), _col(rows, 4), _col(rows, 5)
+        c2x, c2y, c2z = _col(rows, 6), _col(rows, 7), _col(rows, 8)
+        e1x, e1y, e1z = _col(rows, 9), _col(rows, 10), _col(rows, 11)
+        e2x, e2y, e2z = _col(rows, 12), _col(rows, 13), _col(rows, 14)
+        kk, msk = _col(rows, 15), _col(rows, 17)
+        div = ngx * dx + ngy * dy + ngz * dz
+        side_ok = (div != 0.0) if two_sided else (div > 0.0)
+        idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+        beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+        gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                 - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+        t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+        okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
+            & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
+            & (msk > 0.0) & alive
+        return jnp.maximum(occ, _tree_any(jnp.where(okh, 1.0, 0.0)))
+
+    return tri_chunk_occ
 
 
 def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
@@ -386,9 +538,10 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         tri_w = (tri_chunks, chunk_overlap_trace) \
             if tri_chunks is not None else None
         c = _loop_diff(sph, n_sph, sph_step, c, windows=sph_w,
-                       captures=caps)
+                       captures=caps, chunk_fn=_sph_chunk_trace)
         c = _loop_diff(tri, n_tri, tri_step, c, windows=tri_w,
-                       captures=caps)
+                       captures=caps,
+                       chunk_fn=_make_tri_chunk_trace(two_sided))
 
         bt, bnx, bny, bnz, bm = c
         found = bm >= 0.0
@@ -467,9 +620,10 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         tri_w = (tri_chunks, chunk_overlap_occ) \
             if tri_chunks is not None else None
         occ = _loop_diff(sph, n_sph, sph_occ, occ, windows=sph_w,
-                         captures=caps)
+                         captures=caps, chunk_fn=_sph_chunk_occ)
         occ = _loop_diff(tri, n_tri, tri_occ, occ, windows=tri_w,
-                         captures=caps)
+                         captures=caps,
+                         chunk_fn=_make_tri_chunk_occ(two_sided))
         return occ > 0.0
 
     def albedo_of(mf):
