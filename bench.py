@@ -283,7 +283,7 @@ def _full_train_bench(jax, scene, cfg) -> None:
               "materials": scene.materials}
     state = pathtracer.init_state(cfg)
     (_, state), grads = step(params, state)          # compile
-    float(grads["center"].ravel()[0])
+    float(grads["materials"].ravel()[0])
     state = pathtracer.init_state(cfg)
     t0 = time.perf_counter()
     for _ in range(spp_total):
@@ -327,11 +327,11 @@ def _train_bench(jax, scene, cfg, iters: int) -> None:
     state = pathtracer.init_state(cfg)
 
     (l, state), grads = step(params, state)
-    float(grads["center"].ravel()[0])
+    float(grads["materials"].ravel()[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         (l, state), grads = step(params, state)
-    float(grads["center"].ravel()[0])
+    float(grads["materials"].ravel()[0])
     dt = time.perf_counter() - t0
 
     n_lights = scene.lights.count
