@@ -73,7 +73,9 @@ def main() -> None:
                        use_megakernel=use_mega, russian_roulette=rr,
                        rr_start_depth=2, mega_grad_wrt=("sph", "mat"),
                        mega_block=block, mega_edge_bandwidth=edge_bw,
-                       use_grid=use_grid)
+                       use_grid=use_grid,
+                       mega_bwd_sublanes=int(
+                           os.environ.get("BENCH_BWD_SUBLANES", "32")))
     if scene_name == "spheres":
         scene = sphere_field(int(os.environ.get("BENCH_NSPHERES", "1024")),
                              cols=width, rows=height)

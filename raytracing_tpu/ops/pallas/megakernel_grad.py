@@ -1384,10 +1384,11 @@ def _bwd_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, *,
         out_specs=out_specs,
         interpret=interpret,
         # the transpose of a 5-bounce tile program keeps ~29 MB of
-        # residuals live at 1024x1024 b5 — beyond the 16 MB default scoped
-        # window but well within v5e's physical VMEM
+        # residuals live at 1024x1024 b5 (the soft/edge backward ~101 MB
+        # at 512x512) — beyond the 16 MB default scoped window but within
+        # v5e's physical VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=114 * 1024 * 1024),
     )(*args)
 
 
