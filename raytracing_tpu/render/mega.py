@@ -201,7 +201,13 @@ def grid_tables(scene: Scene, tri: Array, sph: Array
     the returned sph table is then a dummy row (the kernel reads spheres
     only from the grid's cell-major table)."""
     grids = scene.folded_tri_grid or ()
-    streamed = tri.size > MK.SMEM_TABLE_MAX and bool(grids)
+    # resident mode must fit the SMEM budget with EVERYTHING it parks
+    # there: the packed triangle table AND the per-grid CSR item tables
+    # (fine grids duplicate heavily — teapot at its XML 10^3 carries
+    # ~130 refs/tri). Offsets + cell AABBs are small and stay SMEM in
+    # both modes.
+    res_cost = tri.size + sum(int(g.item_indices.shape[0]) for g in grids)
+    streamed = bool(grids) and res_cost > MK.SMEM_TABLE_MAX
     tri_list = []
     start = grids[0].start if grids else tri.shape[0]
     for g in grids:
