@@ -81,6 +81,22 @@ STREAM_MIN_TRIS = UNROLL_OBJECTS
 GRID_CHUNK = 32
 
 
+class _FlatTable:
+    """Scalar-read adapter over a FLATTENED 1-D SMEM table. 2-D SMEM
+    windows pad every row to 512 bytes (measured: a (1022, 32) f32 table
+    costs 512 KB of the ~1 MB SMEM; (1000, 6) cell bounds another 500 KB),
+    so all scalar-indexed SMEM tables ride as 1-D refs and this adapter
+    restores ``tab[i, j]`` indexing with a static column count."""
+
+    def __init__(self, ref, ncols: int):
+        self.ref = ref
+        self.ncols = ncols
+
+    def __getitem__(self, idx):
+        i, j = idx
+        return self.ref[i * self.ncols + j]
+
+
 def _loop_objects(n: int, body, init):
     """Unrolled (static indices) or fori_loop object iteration."""
     if n <= UNROLL_OBJECTS:
@@ -218,8 +234,20 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                         grid_streamed: bool = False, grid_start: int = 0,
                         sph_grid_n: tuple = (),
                         block: int = 0,
-                        stream_sph: bool = False, n_sph_chunks: int = 0):
+                        stream_sph: bool = False, n_sph_chunks: int = 0,
+                        flat_sph: bool = False, flat_tri: bool = False,
+                        flat_mat: bool = False, flat_lig: bool = False):
     grid_tri = bool(tri_grids)
+    # un-flatten SMEM tables (see _FlatTable): fixed packing widths
+    if flat_sph:
+        sph = _FlatTable(sph, 8)
+    if flat_tri:
+        tri = _FlatTable(tri, 32)
+    if flat_mat:
+        mat = _FlatTable(mat, 4)
+    if flat_lig:
+        lig = _FlatTable(lig, 20)
+    chk = _FlatTable(chk, 8)          # stream-chunk AABBs: always SMEM
     rest = list(rest)
     tri_grid_args = []
     if grid_tri:
@@ -233,22 +261,25 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
         # visited cell (tables beyond the SMEM budget).
         for _ in tri_grids:
             if grid_streamed:
+                # (goff, gpar, gb, gtab) — gb flattened (SMEM row padding)
                 tri_grid_args.append((rest.pop(0), rest.pop(0),
-                                      rest.pop(0), rest.pop(0)))
-                # (goff, gpar, gb, gtab)
+                                      _FlatTable(rest.pop(0), 6),
+                                      rest.pop(0)))
             else:
-                tri_grid_args.append((rest.pop(0), rest.pop(0),
-                                      rest.pop(0), rest.pop(0)))
                 # (goff, gitems, gpar, gb)
+                a, b, c_, d = (rest.pop(0), rest.pop(0), rest.pop(0),
+                               rest.pop(0))
+                tri_grid_args.append((a, b, c_, _FlatTable(d, 6)))
     sph_grid_args = None
     if sph_grid_n:
         # in-kernel SPHERE grid (big molecules; ref splitSphereData
         # code.js:1554-1641): always streamed (it exists precisely for
         # tables beyond SMEM). (goff, gpar, gb, gtab)
-        sph_grid_args = (rest.pop(0), rest.pop(0), rest.pop(0),
-                        rest.pop(0))
+        sph_grid_args = (rest.pop(0), rest.pop(0),
+                         _FlatTable(rest.pop(0), 6), rest.pop(0))
     if stream_sph:
-        schk = rest.pop(0)           # per-sphere-chunk AABBs (nc, 8) SMEM
+        # per-sphere-chunk AABBs, flattened SMEM
+        schk = _FlatTable(rest.pop(0), 8)
     u_ref = rest.pop(0) if use_u else None
     acc_in = rest[0:3]
     acc_out = rest[3:6]
@@ -1352,14 +1383,26 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
     tri_spec = any_spec if stream_tri \
         else (smem if (grid_tri and not grid_streamed) else table_spec(tri))
     sph_spec = any_spec if stream_sph else table_spec(sph)
+
+    # SMEM tables ride FLATTENED (2-D SMEM windows pad rows to 512 B —
+    # see _FlatTable); the kernel re-indexes with static column counts
+    def maybe_flat(t, spec):
+        return t.reshape(-1) if spec is smem else t
+
+    n_args.update(flat_sph=sph_spec is smem, flat_tri=tri_spec is smem,
+                  flat_mat=table_spec(mat) is smem,
+                  flat_lig=table_spec(lig) is smem)
     in_specs = [smem, smem, sph_spec, tri_spec, smem,
                 table_spec(mat), table_spec(lig)]
-    args = [ipar, par, sph, tri, chunks, mat, lig]
+    args = [ipar, par, maybe_flat(sph, sph_spec), maybe_flat(tri, tri_spec),
+            chunks.reshape(-1), maybe_flat(mat, table_spec(mat)),
+            maybe_flat(lig, table_spec(lig))]
     if grid_tri:
         if not grid_streamed:
             # RESIDENT grids: CSR offsets + item ids into the SMEM tri
             # table + [pmin, cell width] + tight cell AABBs — SMEM scalars
-            assert tri.size <= SMEM_TABLE_MAX, \
+            # (flattened; render/mega.GRID_RESIDENT_MAX governs the total)
+            assert tri.size <= 4 * SMEM_TABLE_MAX, \
                 "resident grid-mode triangle table must be SMEM-resident"
         for (goff, payload, gpar_g, _n, gb_g) in grid["tri"]:
             if grid_streamed:
@@ -1369,7 +1412,7 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                 in_specs += [smem, smem, smem, any_spec]
                 args += [goff.astype(jnp.int32),
                          gpar_g.astype(jnp.float32),
-                         gb_g.astype(jnp.float32),
+                         gb_g.astype(jnp.float32).reshape(-1),
                          payload.astype(jnp.float32)]
             else:
                 gitems = payload
@@ -1378,15 +1421,16 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                 in_specs += [smem, smem, smem, smem]
                 args += [goff.astype(jnp.int32), gitems.astype(jnp.int32),
                          gpar_g.astype(jnp.float32),
-                         gb_g.astype(jnp.float32)]
+                         gb_g.astype(jnp.float32).reshape(-1)]
     if sph_grid:
         sgoff, sgtab, sgpar, _sn, sgb = sph_grid
         in_specs += [smem, smem, smem, any_spec]
         args += [sgoff.astype(jnp.int32), sgpar.astype(jnp.float32),
-                 sgb.astype(jnp.float32), sgtab.astype(jnp.float32)]
+                 sgb.astype(jnp.float32).reshape(-1),
+                 sgtab.astype(jnp.float32)]
     if stream_sph:
         in_specs.append(smem)
-        args.append(sph_chunks.astype(jnp.float32))
+        args.append(sph_chunks.astype(jnp.float32).reshape(-1))
     if u_planes is not None:
         D2 = u_planes.shape[0]
         u3 = jnp.stack([_pad_plane(u_planes[j], P) for j in range(D2)])

@@ -158,6 +158,11 @@ def scene_tables(scene: Scene, cfg: RenderConfig
     return par, sph, tri, mat, lig
 
 
+# element budget for RESIDENT grid mode (flattened SMEM tables): triangle
+# table + CSR items + cell AABBs/offsets, ~480 KB of the ~1 MB SMEM
+GRID_RESIDENT_MAX = 120 * 1000
+
+
 def _gpar_of(g) -> Array:
     nv = jnp.asarray(g.n, jnp.float32)
     width = (g.pmax - g.pmin) / nv
@@ -202,12 +207,14 @@ def grid_tables(scene: Scene, tri: Array, sph: Array
     only from the grid's cell-major table)."""
     grids = scene.folded_tri_grid or ()
     # resident mode must fit the SMEM budget with EVERYTHING it parks
-    # there: the packed triangle table AND the per-grid CSR item tables
-    # (fine grids duplicate heavily — teapot at its XML 10^3 carries
-    # ~130 refs/tri). Offsets + cell AABBs are small and stay SMEM in
-    # both modes.
-    res_cost = tri.size + sum(int(g.item_indices.shape[0]) for g in grids)
-    streamed = bool(grids) and res_cost > MK.SMEM_TABLE_MAX
+    # there: the packed triangle table, the per-grid CSR item tables,
+    # cell AABBs and offsets. All SMEM tables ride flattened (2-D SMEM
+    # windows pad rows to 512 B — megakernel._FlatTable), so the budget
+    # is true element count; ~480 KB of the ~1 MB SMEM is allotted here.
+    res_cost = tri.size + sum(
+        int(g.item_indices.shape[0]) + 7 * (g.n[0] * g.n[1] * g.n[2])
+        for g in grids)
+    streamed = bool(grids) and res_cost > GRID_RESIDENT_MAX
     tri_list = []
     start = grids[0].start if grids else tri.shape[0]
     for g in grids:

@@ -398,15 +398,15 @@ def test_grid_mode_per_mesh_nslabs_matches_brute():
 def test_grid_streamed_matches_resident(monkeypatch):
     """STREAMED grid mode (cell-major HBM row table + per-cell DMA, for
     tables beyond the SMEM budget) must reproduce the resident grid mode
-    EXACTLY — forced by shrinking the SMEM budget."""
-    from raytracing_tpu.ops.pallas import megakernel as MK
+    EXACTLY — forced by shrinking the resident-grid budget."""
+    from raytracing_tpu.render import mega as MG
     scene = _teapot_scene(16, 12, n_slabs=3)
     cfg = RenderConfig(width=16, height=12, spp=1, bounces=0,
                        use_grid=True, use_megakernel=True)
     st = pathtracer.init_state(cfg)
     u = u_planes_for_pass(st["key"], st["passes"], cfg, scene.lights.count)
     ref = render_pass_mega(scene, st, cfg, u_planes=u, interpret=True)
-    monkeypatch.setattr(MK, "SMEM_TABLE_MAX", 256)
+    monkeypatch.setattr(MG, "GRID_RESIDENT_MAX", 256)
     got = render_pass_mega(scene, st, cfg, u_planes=u, interpret=True)
     monkeypatch.undo()
     np.testing.assert_array_equal(np.asarray(got["acc"]),
