@@ -97,6 +97,20 @@ class _FlatTable:
         return self.ref[i * self.ncols + j]
 
 
+class _SlotView:
+    """``tab[i, j] -> ref[slot, i, j]`` view of a double-buffered SMEM
+    chunk (slot may be a traced value; SMEM scalar reads take dynamic
+    leading indices)."""
+
+    def __init__(self, ref, slot):
+        self.ref = ref
+        self.slot = slot
+
+    def __getitem__(self, idx):
+        i, j = idx
+        return self.ref[self.slot, i, j]
+
+
 def _loop_objects(n: int, body, init):
     """Unrolled (static indices) or fori_loop object iteration."""
     if n <= UNROLL_OBJECTS:
@@ -290,8 +304,11 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
         smem_sph = scratch.pop(0)    # SMEM sphere chunk buffer
     gchunk_dma = grid_streamed or bool(sph_grid_n)
     if gchunk_dma:
-        smem_gchunk = scratch.pop(0)  # SMEM grid-cell sub-chunk buffer
-    if stream_tri or stream_sph or gchunk_dma:
+        # (2, GRID_CHUNK, 128) double-buffered SMEM grid-cell sub-chunk
+        # buffer + its own 2-slot DMA semaphore array
+        smem_gchunk = scratch.pop(0)
+        gdma_sem = scratch.pop(0)
+    if stream_tri or stream_sph:
         dma_sem = scratch.pop(0)
     if stream_tri or stream_sph or grid_tri or sph_grid_n:
         (s_bt, s_bnx, s_bny, s_bnz, s_bm) = scratch[0:5]
@@ -609,12 +626,21 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
 
             return body
 
-        def stream_cell_loop(goff, gb, gtab, body5):
+        def stream_cell_loop(goff, gb, gtab, make_body5):
             """Streamed-grid cell visit for the CLOSEST-HIT search: slab
             test vs the cell AABB against each ray's live [mint,
             min(maxt, champion)] window; visited cells DMA their
-            cell-major rows in GRID_CHUNK sub-chunks and champion them
-            with masked fori (count = CSR extent)."""
+            cell-major rows in GRID_CHUNK sub-chunks (DOUBLE-BUFFERED —
+            the next sub-chunk's fetch overlaps the current one's
+            champion loop) and champion them with masked fori (count =
+            CSR extent)."""
+
+            def gchunk_dma_at(lo_off, k, slot):
+                # reconstructed for start and wait (guide's pattern)
+                return pltpu.make_async_copy(
+                    gtab.at[pl.ds(lo_off + k * GRID_CHUNK,
+                                  GRID_CHUNK), :],
+                    smem_gchunk.at[slot], gdma_sem.at[slot])
 
             def cell_loop(ci, _):
                 lo_off = goff[ci]
@@ -629,16 +655,21 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 @pl.when(jnp.any(overlap) & (lo_off < hi_off))
                 def _():
                     nsub = (hi_off - lo_off + GRID_CHUNK - 1) // GRID_CHUNK
+                    gchunk_dma_at(lo_off, 0, 0).start()
 
                     def sub(k, _2):
-                        off = lo_off + k * GRID_CHUNK
-                        cp = pltpu.make_async_copy(
-                            gtab.at[pl.ds(off, GRID_CHUNK), :],
-                            smem_gchunk, dma_sem)
-                        cp.start()
-                        cp.wait()
+                        slot = jax.lax.rem(k, 2)
+
+                        @pl.when(k + 1 < nsub)
+                        def _():
+                            gchunk_dma_at(lo_off, k + 1,
+                                          1 - slot).start()
+
+                        gchunk_dma_at(lo_off, k, slot).wait()
                         cnt = jnp.minimum(jnp.int32(GRID_CHUNK),
-                                          hi_off - off)
+                                          hi_off - k * GRID_CHUNK
+                                          - lo_off)
+                        body5 = make_body5(_SlotView(smem_gchunk, slot))
                         carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
                                  s_bm[:])
                         carry = jax.lax.fori_loop(0, cnt, body5, carry)
@@ -661,7 +692,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
             sgoff, sgpar, sgb, sgtab = sph_grid_args
             cell_loop = stream_cell_loop(sgoff, sgb, sgtab,
-                                         make_sph_body5(smem_gchunk))
+                                         make_sph_body5)
             gnear, gfar = _slab6(
                 sgpar[0], sgpar[1], sgpar[2],
                 sgpar[0] + float(sph_grid_n[0]) * sgpar[3],
@@ -785,7 +816,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 if grid_streamed:
                     goff_g, gpar_g, gb_g, gtab_g = tri_grid_args[gi]
                     cell_loop = stream_cell_loop(
-                        goff_g, gb_g, gtab_g, make_tri_body5(smem_gchunk))
+                        goff_g, gb_g, gtab_g, make_tri_body5)
                 else:
                     goff_g, gitems_g, gpar_g, gb_g = tri_grid_args[gi]
                     cell_loop = resident_cell_loop(goff_g, gitems_g, gb_g)
@@ -928,10 +959,17 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
 
             return body
 
-        def stream_cell_loop_occ(goff, gb, gtab, body_occ):
+        def stream_cell_loop_occ(goff, gb, gtab, make_body_occ):
             """Streamed-grid cell visit for OCCLUSION: cells whose AABB no
             still-unoccluded ray's segment overlaps are skipped; visited
-            cells DMA their rows in GRID_CHUNK sub-chunks."""
+            cells DMA their rows in GRID_CHUNK sub-chunks
+            (double-buffered)."""
+
+            def gchunk_dma_at(lo_off, k, slot):
+                return pltpu.make_async_copy(
+                    gtab.at[pl.ds(lo_off + k * GRID_CHUNK,
+                                  GRID_CHUNK), :],
+                    smem_gchunk.at[slot], gdma_sem.at[slot])
 
             def cell_loop(ci, _):
                 lo_off = goff[ci]
@@ -946,16 +984,21 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 @pl.when(jnp.any(overlap) & (lo_off < hi_off))
                 def _():
                     nsub = (hi_off - lo_off + GRID_CHUNK - 1) // GRID_CHUNK
+                    gchunk_dma_at(lo_off, 0, 0).start()
 
                     def sub(k, _2):
-                        off = lo_off + k * GRID_CHUNK
-                        cp = pltpu.make_async_copy(
-                            gtab.at[pl.ds(off, GRID_CHUNK), :],
-                            smem_gchunk, dma_sem)
-                        cp.start()
-                        cp.wait()
+                        slot = jax.lax.rem(k, 2)
+
+                        @pl.when(k + 1 < nsub)
+                        def _():
+                            gchunk_dma_at(lo_off, k + 1, 1 - slot).start()
+
+                        gchunk_dma_at(lo_off, k, slot).wait()
                         cnt = jnp.minimum(jnp.int32(GRID_CHUNK),
-                                          hi_off - off)
+                                          hi_off - k * GRID_CHUNK
+                                          - lo_off)
+                        body_occ = make_body_occ(_SlotView(smem_gchunk,
+                                                           slot))
                         s_bt[:] = jax.lax.fori_loop(0, cnt, body_occ,
                                                     s_bt[:])
                         return 0
@@ -971,7 +1014,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
             sgoff, sgpar, sgb, sgtab = sph_grid_args
             cell_loop = stream_cell_loop_occ(sgoff, sgb, sgtab,
-                                             make_sph_occ_body(smem_gchunk))
+                                             make_sph_occ_body)
             gnear, gfar = _slab6(
                 sgpar[0], sgpar[1], sgpar[2],
                 sgpar[0] + float(sph_grid_n[0]) * sgpar[3],
@@ -1064,8 +1107,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 if grid_streamed:
                     goff_g, gpar_g, gb_g, gtab_g = tri_grid_args[gi]
                     cell_loop = stream_cell_loop_occ(
-                        goff_g, gb_g, gtab_g,
-                        make_tri_occ_body(smem_gchunk))
+                        goff_g, gb_g, gtab_g, make_tri_occ_body)
                 else:
                     goff_g, gitems_g, gpar_g, gb_g = tri_grid_args[gi]
                     cell_loop = resident_cell_loop_occ(goff_g, gitems_g,
@@ -1451,8 +1493,9 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
             pltpu.SMEM((STREAM_CHUNK, sph.shape[1]), jnp.float32))
     if grid_streamed or sph_grid:
         scratch_shapes.append(
-            pltpu.SMEM((GRID_CHUNK, 128), jnp.float32))
-    if stream_tri or stream_sph or grid_streamed or sph_grid:
+            pltpu.SMEM((2, GRID_CHUNK, 128), jnp.float32))
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))
+    if stream_tri or stream_sph:
         scratch_shapes.append(pltpu.SemaphoreType.DMA)
     if stream_tri or stream_sph or grid_tri or sph_grid:
         scratch_shapes += [
