@@ -95,9 +95,13 @@ def prepare_grids(scene: Scene, n_slabs: int | tuple | str = 1,
         g = build_triangle_grid(folded, lo.min(0), hi.max(0), n_slabs)
         folded_grids = (mega_order_grid(g, lo, hi, eye),)
     # mega sphere grid (molecule-scale scenes; the reference's
-    # splitSphereData analog): resolution from the measured cost model
+    # splitSphereData analog): resolution from the measured cost model.
+    # Built only when render/mega.grid_tables will actually attach it —
+    # sphere tables past the SMEM budget (count * 8 packed floats); smaller
+    # scenes read spheres from SMEM and the build would be dead cost.
+    from ..ops.pallas import megakernel as _MK
     mega_sph = None
-    if scene.spheres.count > 64:
+    if scene.spheres.count * 8 > _MK.SMEM_TABLE_MAX:
         n_sph_grid = auto_slabs(scene.spheres.count)
         gs = build_sphere_grid(scene.spheres, scene.sphere_bounds_min,
                                scene.sphere_bounds_max, n_sph_grid)

@@ -764,7 +764,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
             c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
                  c[5], c[6], c[7])
-        if n_tri and grid_tri:
+        if grid_tri:
             # uniform-grid closest hit at TILE granularity (the TPU-native
             # DDA, ref sphereTrace/triangleTrace code.cl:675-935): scene
             # triangles [0, grid_start) run the brute loop (the reference's
@@ -1073,7 +1073,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
 
             jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
             occ = s_bt[:]
-        if n_tri and grid_tri:
+        if grid_tri:
             # grid any-hit (ref *ShadowTrace code.cl:1073-1321): scene tris
             # brute, gridded tris per cell (one grid per mesh); cells whose
             # AABB no still-unoccluded ray's segment overlaps are skipped
@@ -1369,8 +1369,11 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
         return t if t.shape[0] else jnp.zeros((1,) + t.shape[1:], t.dtype)
 
     stream_tri = chunks is not None and tri.shape[0] > 0
-    grid_tri = (grid is not None and bool(grid.get("tri"))
-                and tri.shape[0] > 0)
+    # grids carry their own geometry (cell-major HBM rows in streamed
+    # mode), so their presence alone activates grid mode: a mesh-only
+    # scene whose brute prefix tri[:start] is EMPTY (start == 0, all
+    # triangles grid-covered) must still render its grids
+    grid_tri = grid is not None and bool(grid.get("tri"))
     sph_grid = grid.get("sph") if grid is not None else None
     grid_streamed = bool(grid.get("streamed")) if grid is not None else False
     stream_sph = sph_chunks is not None and sph.shape[0] > 0

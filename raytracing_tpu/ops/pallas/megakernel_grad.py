@@ -193,7 +193,7 @@ def _tree_champion(t, fields):
 
 
 def _loop_diff(table, n, step, carry, windows=None, captures=(),
-               chunk_fn=None):
+               chunk_fn=None, chunk=DIFF_CHUNK):
     """Reverse-differentiable object loop over ``table[:n]`` rows.
 
     Small tables unroll ``step`` with static row reads (identical jaxpr
@@ -217,12 +217,13 @@ def _loop_diff(table, n, step, carry, windows=None, captures=(),
     take every differentiable outer value through ``captures`` (a
     custom_vjp cannot differentiate closed-over tracers). Padding rows
     must be no-ops (mask column 0 — the table builders guarantee it)."""
-    if n <= MK.UNROLL_OBJECTS:
+    if n <= MK.UNROLL_OBJECTS and windows is None:
         for i in range(n):
             carry = step(table[i], carry, captures)
         return carry
     assert chunk_fn is not None, "large tables need a batched chunk_fn"
-    C = DIFF_CHUNK
+    C = chunk
+    assert C & (C - 1) == 0, "chunk size must be a power of two"
     nch = -(-n // C)
     F = table.shape[1]
     tb = table[:n]
@@ -409,7 +410,7 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
                   two_sided: bool, normalize_emitter: bool,
                   russian_roulette: bool, rr_start_depth: int,
                   mode: str, tri_chunks=None, sph_chunks=None,
-                  block: int = 0):
+                  block: int = 0, diff_chunk: int = DIFF_CHUNK):
     """Accumulator DELTA for one ray tile as a pure function of the scene
     tables. Same math, same order as megakernel._render_pass_kernel (which
     cites the reference kernels line-by-line); differences are only
@@ -538,10 +539,12 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         tri_w = (tri_chunks, chunk_overlap_trace) \
             if tri_chunks is not None else None
         c = _loop_diff(sph, n_sph, sph_step, c, windows=sph_w,
-                       captures=caps, chunk_fn=_sph_chunk_trace)
+                       captures=caps, chunk_fn=_sph_chunk_trace,
+                       chunk=diff_chunk)
         c = _loop_diff(tri, n_tri, tri_step, c, windows=tri_w,
                        captures=caps,
-                       chunk_fn=_make_tri_chunk_trace(two_sided))
+                       chunk_fn=_make_tri_chunk_trace(two_sided),
+                       chunk=diff_chunk)
 
         bt, bnx, bny, bnz, bm = c
         found = bm >= 0.0
@@ -620,10 +623,12 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         tri_w = (tri_chunks, chunk_overlap_occ) \
             if tri_chunks is not None else None
         occ = _loop_diff(sph, n_sph, sph_occ, occ, windows=sph_w,
-                         captures=caps, chunk_fn=_sph_chunk_occ)
+                         captures=caps, chunk_fn=_sph_chunk_occ,
+                         chunk=diff_chunk)
         occ = _loop_diff(tri, n_tri, tri_occ, occ, windows=tri_w,
                          captures=caps,
-                         chunk_fn=_make_tri_chunk_occ(two_sided))
+                         chunk_fn=_make_tri_chunk_occ(two_sided),
+                         chunk=diff_chunk)
         return occ > 0.0
 
     def albedo_of(mf):
@@ -1194,12 +1199,13 @@ def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
                 bwd_sublanes: int = SUBLANES,
                 soft_bandwidth: float = 0.0, soft_tau: float = 0.0,
                 stream_tri: bool = False, stream_sph: bool = False,
-                block: int = 0):
+                block: int = 0, diff_chunk: int = DIFF_CHUNK):
     rest = list(rest)
-    # keep chunk-AABB tables as REFS: the overlap fns read them scalar-
+    # chunk-AABB tables as FLATTENED 1-D SMEM refs (2-D SMEM rows pad to
+    # 512 B — megakernel._FlatTable); the overlap fns read them scalar-
     # wise (SMEM vector loads don't lower in Mosaic)
-    tri_chunks = rest.pop(0) if stream_tri else None
-    sph_chunks = rest.pop(0) if stream_sph else None
+    tri_chunks = MK._FlatTable(rest.pop(0), 8) if stream_tri else None
+    sph_chunks = MK._FlatTable(rest.pop(0), 8) if stream_sph else None
     if use_u:
         u_ref = rest[0]
         g_refs = rest[1:4]

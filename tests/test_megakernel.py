@@ -429,11 +429,62 @@ def test_sphere_grid_matches_brute(monkeypatch):
     u = u_planes_for_pass(st["key"], st["passes"], cfg, scene.lights.count)
     ref = render_pass_mega(scene, st, cfg, u_planes=u, interpret=True)
 
+    # shrink the SMEM budget BEFORE the build: prepare_grids gates the mega
+    # sphere grid on the same threshold grid_tables uses at render time
+    monkeypatch.setattr(MK, "SMEM_TABLE_MAX", 64)
     scene_g = prepare_grids(scene, 1)
     assert scene_g.mega_sph_grid is not None
     cfg_g = dataclasses.replace(cfg, use_grid=True)
-    monkeypatch.setattr(MK, "SMEM_TABLE_MAX", 64)
     got = render_pass_mega(scene_g, st, cfg_g, u_planes=u, interpret=True)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(np.asarray(got["acc"]),
+                                  np.asarray(ref["acc"]))
+
+
+def _mesh_only_scene(cols=16, rows=12, nslabs=3):
+    """A scene whose ONLY geometry is one large mesh: every triangle is
+    grid-covered, so the streamed grid's brute prefix tri[:start] is EMPTY
+    (start == 0) — the configuration of the big_mesh_scene house/teapot
+    assets that stream."""
+    import dataclasses
+    import os
+
+    from raytracing_tpu.accel import prepare_grids
+    from raytracing_tpu.core.types import build_scene
+    from raytracing_tpu.io.scene_xml import load_scene
+    from raytracing_tpu.models.assignments import REF_ROOT
+    xml = os.path.join(REF_ROOT,
+                       "Assign10-Path_Tracing/scenes/cornell_teapot.xml")
+    if not os.path.exists(xml):
+        pytest.skip("reference cornell_teapot.xml not available")
+    full = load_scene(xml, cols, rows)
+    teapot = [m for m in full.meshes if m.tris.count > 64][0]
+    teapot = dataclasses.replace(teapot, nslabs=nslabs)
+    scene = build_scene(camera=full.camera, meshes=(teapot,),
+                        lights=full.lights, materials=full.materials,
+                        focal_length=float(full.focal_length))
+    return prepare_grids(scene, 1, mesh_slabs="xml")
+
+
+def test_grid_streamed_mesh_only_empty_brute_prefix(monkeypatch):
+    """STREAMED grid mode with an EMPTY brute prefix (mesh-only scene,
+    grid_start == 0) must still render the mesh — round-3 advisor HIGH
+    finding: the grid_tri guard keyed on the shrunk tri table and silently
+    dropped every grid, rendering geometry-free images."""
+    from raytracing_tpu.render import mega as MG
+    scene = _mesh_only_scene()
+    assert scene.triangles.count == 0
+    assert scene.folded_tri_grid[0].start == 0
+    cfg = RenderConfig(width=16, height=12, spp=1, bounces=0,
+                       use_grid=True, use_megakernel=True)
+    assert supported(scene, cfg)
+    st = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(st["key"], st["passes"], cfg, scene.lights.count)
+    ref = render_pass_mega(scene, st, cfg, u_planes=u, interpret=True)
+    assert np.abs(np.asarray(ref["acc"])).max() > 0.0, \
+        "resident grid render must see the mesh"
+    monkeypatch.setattr(MG, "GRID_RESIDENT_MAX", 64)
+    got = render_pass_mega(scene, st, cfg, u_planes=u, interpret=True)
     monkeypatch.undo()
     np.testing.assert_array_equal(np.asarray(got["acc"]),
                                   np.asarray(ref["acc"]))
