@@ -69,9 +69,13 @@ def main() -> None:
     # scene (streamed cell-major tables for big assets; mega sphere grid
     # for molecules). Resolution from BENCH_NSLABS or the cost model.
     use_grid = os.environ.get("BENCH_GRID", "0") == "1"
+    # BENCH_GRAD_WRT: comma list of parameter groups for train mode
+    # (default geometry+albedo = the BASELINE.json metric; add "tri" to
+    # train mesh vertices, e.g. teapot grid-mode training)
+    wrt = tuple(os.environ.get("BENCH_GRAD_WRT", "sph,mat").split(","))
     cfg = RenderConfig(width=width, height=height, spp=1, bounces=bounces,
                        use_megakernel=use_mega, russian_roulette=rr,
-                       rr_start_depth=2, mega_grad_wrt=("sph", "mat"),
+                       rr_start_depth=2, mega_grad_wrt=wrt,
                        mega_block=block, mega_edge_bandwidth=edge_bw,
                        use_grid=use_grid,
                        mega_bwd_sublanes=int(
@@ -92,7 +96,14 @@ def main() -> None:
     if use_grid:
         from raytracing_tpu.accel import prepare_grids
         ns = os.environ.get("BENCH_NSLABS", "auto")
-        scene = prepare_grids(scene, ns if ns == "auto" else int(ns))
+        # per-mesh resolution defaults to the measured cost model ("auto");
+        # BENCH_MESH_SLABS=xml restores the reference's exact per-mesh
+        # nslabs (teapot 10^3 etc. — the fidelity/parity flag)
+        ms = os.environ.get("BENCH_MESH_SLABS", "auto")
+        if ms not in ("auto", "xml"):
+            ms = int(ms)
+        scene = prepare_grids(scene, ns if ns == "auto" else int(ns),
+                              mesh_slabs=ms)
 
     bench_config = int(os.environ.get("BENCH_CONFIG", "5"))
     if bench_config != 5:
@@ -313,11 +324,20 @@ def _train_bench(jax, scene, cfg, iters: int) -> None:
 
     from raytracing_tpu.render import pathtracer
 
+    mesh_i = [i for i, m in enumerate(scene.meshes) if m.tris.count > 64] \
+        if "tri" in cfg.mega_grad_wrt else []
+
     def loss(params, state):
         spheres = dataclasses.replace(scene.spheres,
                                       center=params["center"],
                                       radius=params["radius"])
+        meshes = list(scene.meshes)
+        for i in mesh_i:
+            m = meshes[i]
+            meshes[i] = dataclasses.replace(
+                m, tris=dataclasses.replace(m.tris, v=params[f"mesh{i}"]))
         sc = dataclasses.replace(scene, spheres=spheres,
+                                 meshes=tuple(meshes),
                                  materials=params["materials"])
         st = pathtracer._render_pass(sc, state, cfg)
         img = pathtracer.image(st, cfg)
@@ -326,6 +346,7 @@ def _train_bench(jax, scene, cfg, iters: int) -> None:
     step = jax.jit(jax.value_and_grad(loss, has_aux=True))
     params = {"center": scene.spheres.center, "radius": scene.spheres.radius,
               "materials": scene.materials}
+    params.update({f"mesh{i}": scene.meshes[i].tris.v for i in mesh_i})
     state = pathtracer.init_state(cfg)
 
     (l, state), grads = step(params, state)

@@ -76,9 +76,12 @@ def prepare_grids(scene: Scene, n_slabs: int | tuple | str = 1,
         for m in large:
             # mesh_slabs="xml": honor each mesh's own XML nslabs (teapot
             # 10^3, boxes 5^3 — the reference's exact per-mesh dispatch);
-            # an int overrides every mesh (cost-model tuning)
+            # "auto": per-mesh resolution from the measured cost model
+            # (the performance default); an int overrides every mesh
             if mesh_slabs == "xml":
                 res = m.nslabs if (m.nslabs and m.nslabs != 1) else n_slabs
+            elif mesh_slabs == "auto":
+                res = auto_slabs(m.tris.count)
             else:
                 res = mesh_slabs
             g = build_triangle_grid(m.tris, m.bounds_min, m.bounds_max, res)

@@ -55,6 +55,11 @@ class Grid:
     #                          the binned items clipped to the cell, in
     #                          VISIT order (mega_order_grid); None on plain
     #                          builds
+    cell_centers: Any = None  # (ncells, 3) geometric cell centers in VISIT
+    #                           order — lets render-time code recompute a
+    #                           front-to-back permutation for the CURRENT
+    #                           eye (render/mega._fresh_grid; orbit/camera
+    #                           training stay optimally ordered)
 
 
 def _n3(n) -> tuple[int, int, int]:
@@ -149,11 +154,11 @@ def mega_order_grid(grid: Grid, lo: np.ndarray, hi: np.ndarray,
     (accel/traverse.py) addresses cells by computed id and must use the
     plain build.
 
-    STALENESS: the front-to-back order is baked at build time for the
-    given ``eye``. Correctness is order-independent (grid == brute is
-    tested), but if the camera moves after prepare_grids (orbit animation,
-    camera training) the early-exit culling degrades to an arbitrary visit
-    order — re-run prepare_grids when the eye moves materially."""
+    The build-time order targets the build-time ``eye``; the stored
+    ``cell_centers`` let the megakernel driver recompute the permutation
+    for the CURRENT eye per render (render/mega._fresh_grid, a traced
+    argsort + CSR regather), so camera motion (orbit, camera training)
+    keeps optimal early-exit culling."""
     nx, ny, nz = grid.n
     ncells = nx * ny * nz
     pmin = np.asarray(grid.pmin)
@@ -189,6 +194,7 @@ def mega_order_grid(grid: Grid, lo: np.ndarray, hi: np.ndarray,
         cell_offsets=jnp.asarray(new_off),
         item_indices=jnp.asarray(new_pay.astype(np.int32) + index_offset),
         cell_bounds=jnp.asarray(bounds),
+        cell_centers=jnp.asarray(centers[order].astype(np.float32)),
         start=index_offset)
 
 

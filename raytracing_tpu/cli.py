@@ -44,9 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use N^3 uniform-grid acceleration (0 = brute "
                         "force); mesh instances get their own grids at "
                         "their XML nslabs")
-    p.add_argument("--mesh-slabs", default="xml", metavar="N|xml",
-                   help="per-mesh grid resolution: 'xml' honors each "
-                        "mesh's nslabs (reference dispatch), an int "
+    p.add_argument("--mesh-slabs", default="auto", metavar="N|xml|auto",
+                   help="per-mesh grid resolution: 'auto' (default) picks "
+                        "from the measured cost model, 'xml' honors each "
+                        "mesh's nslabs (reference-parity fidelity), an int "
                         "overrides all meshes")
     p.add_argument("--pallas", action="store_true",
                    help="use fused Pallas closest-hit kernels")
@@ -124,8 +125,9 @@ def main(argv=None) -> int:
     if args.grid > 0:
         from .accel import prepare_grids
         ms = args.mesh_slabs
-        scene = prepare_grids(scene, args.grid,
-                              mesh_slabs=ms if ms == "xml" else int(ms))
+        if ms not in ("xml", "auto"):
+            ms = int(ms)
+        scene = prepare_grids(scene, args.grid, mesh_slabs=ms)
 
     print(f"device: {jax.devices()[0].platform} "
           f"({jax.devices()[0].device_kind})")

@@ -134,6 +134,35 @@ def _loop_cells(grid_n: tuple, step):
     jax.lax.fori_loop(0, n_cells, step, 0)
 
 
+def _loop_early(n: int, step, done_fn):
+    """Iteration over [0, n) with tile-level EARLY EXIT — the TPU analog
+    of the reference DDA's per-ray march break (code.cl:745-786): stop as
+    soon as ``done_fn(ci)`` (a scalar predicate over the champion scratch,
+    evaluated for the NEXT index) says no ray can gain from the remaining
+    iterations. Small n unrolls with pl.when guards (static indices);
+    larger n runs a while_loop with an i32 done flag in the carry (Mosaic
+    cannot legalize i1 scalars in loop carries)."""
+    if n <= UNROLL_OBJECTS:
+        for ci in range(n):
+            @pl.when(jnp.logical_not(done_fn(ci)))
+            def _(ci=ci):
+                step(ci, 0)
+        return
+
+    def cond(c):
+        return (c[0] < n) & (c[1] == 0)
+
+    def body(c):
+        ci, _ = c
+        step(ci, 0)
+        nxt = ci + 1
+        return (nxt, jnp.where(done_fn(nxt), jnp.int32(1), jnp.int32(0)))
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0),
+                                    jnp.where(done_fn(0), jnp.int32(1),
+                                              jnp.int32(0))))
+
+
 def _slab6(lo0, lo1, lo2, hi0, hi1, hi2, ox, oy, oz, invdx, invdy, invdz):
     """Slab [near, far] of an AABB (6 scalars) along each ray."""
     t0x = (lo0 - ox) * invdx
@@ -250,7 +279,8 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                         block: int = 0,
                         stream_sph: bool = False, n_sph_chunks: int = 0,
                         flat_sph: bool = False, flat_tri: bool = False,
-                        flat_mat: bool = False, flat_lig: bool = False):
+                        flat_mat: bool = False, flat_lig: bool = False,
+                        n_kernel_passes: int = 1):
     grid_tri = bool(tri_grids)
     # un-flatten SMEM tables (see _FlatTable): fixed packing widths
     if flat_sph:
@@ -275,22 +305,25 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
         # visited cell (tables beyond the SMEM budget).
         for _ in tri_grids:
             if grid_streamed:
-                # (goff, gpar, gb, gtab) — gb flattened (SMEM row padding)
+                # (goff, gpar, gb, gtab, gdist) — gb flattened (SMEM row
+                # padding); gdist = (C+1,) monotone eye->cell distance
+                # bounds (closest-hit early exit, _loop_early)
                 tri_grid_args.append((rest.pop(0), rest.pop(0),
                                       _FlatTable(rest.pop(0), 6),
-                                      rest.pop(0)))
+                                      rest.pop(0), rest.pop(0)))
             else:
-                # (goff, gitems, gpar, gb)
-                a, b, c_, d = (rest.pop(0), rest.pop(0), rest.pop(0),
-                               rest.pop(0))
-                tri_grid_args.append((a, b, c_, _FlatTable(d, 6)))
+                # (goff, gitems, gpar, gb, gdist)
+                a, b, c_, d, e_ = (rest.pop(0), rest.pop(0), rest.pop(0),
+                                   rest.pop(0), rest.pop(0))
+                tri_grid_args.append((a, b, c_, _FlatTable(d, 6), e_))
     sph_grid_args = None
     if sph_grid_n:
         # in-kernel SPHERE grid (big molecules; ref splitSphereData
         # code.js:1554-1641): always streamed (it exists precisely for
-        # tables beyond SMEM). (goff, gpar, gb, gtab)
+        # tables beyond SMEM). (goff, gpar, gb, gtab, gdist)
         sph_grid_args = (rest.pop(0), rest.pop(0),
-                         _FlatTable(rest.pop(0), 6), rest.pop(0))
+                         _FlatTable(rest.pop(0), 6), rest.pop(0),
+                         rest.pop(0))
     if stream_sph:
         # per-sphere-chunk AABBs, flattened SMEM
         schk = _FlatTable(rest.pop(0), 8)
@@ -316,288 +349,176 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
     shape = (SUBLANES, LANES)
     pid = pl.program_id(0)
     roff = ipar[1]                   # global ray offset of this shard
-    if not use_u:
-        # one mixed scalar: (render seed, pass, shard offset, tile) -> i32;
-        # the offset term keeps shards of a multi-chip render decorrelated
-        mixed = (jnp.int32(seed & 0x7FFFFFFF) * jnp.int32(1000003)
-                 + ipar[0] * jnp.int32(40503) + roff * jnp.int32(131) + pid)
-        pltpu.prng_seed(mixed)
-    draws = _Draws(u_ref, shape)
+    def one_pass(p, accr, accg, accb):
+        """The ENTIRE Assign10 schedule for progressive pass
+        ``ipar[0] + p`` (ref executeRender, code.js:1806-1854): draws
+        come from the on-core PRNG re-seeded per pass, so K passes in
+        one kernel launch produce bit-identical accumulators to K
+        host-dispatched launches — multi-pass accumulation keeps acc
+        in registers/VMEM across passes (no per-pass HBM round-trip
+        or dispatch; round-3 VERDICT item 4)."""
+        if not use_u:
+            # one mixed scalar: (render seed, pass, shard offset, tile) -> i32;
+            # the offset term keeps shards of a multi-chip render decorrelated
+            mixed = (jnp.int32(seed & 0x7FFFFFFF) * jnp.int32(1000003)
+                     + (ipar[0] + p) * jnp.int32(40503) + roff * jnp.int32(131) + pid)
+            pltpu.prng_seed(mixed)
+        draws = _Draws(u_ref, shape)
 
-    # ---- ray ids / pixel coordinates (f32 exact below 2^24, asserted by
-    # the wrapper). ``rid`` is shard-local (bounds mask + block indexing);
-    # pixel decode uses the GLOBAL id. ----------------------------------
-    rid = ((pid * SUBLANES
-            + jax.lax.broadcasted_iota(jnp.int32, shape, 0)) * LANES
-           + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
-    in_range = rid < n_rays
-    ridf = (rid + roff).astype(jnp.float32)
-    sppf = jnp.float32(spp)
-    pix = jnp.floor(ridf / sppf)
-    samp = ridf - pix * sppf
-    wf = jnp.float32(width)
-    if block:
-        # blocked pixel layout: consecutive ray slots fill a block x block
-        # pixel square, so each (SUBLANES, LANES) tile covers a COMPACT
-        # screen region — tile-level culling (grid cells, stream chunks)
-        # then sees a narrow frustum instead of a full-width strip. The
-        # host unpermutes the accumulator (render/mega._unblock_image).
-        pbf = jnp.float32(block * block)
-        bprf = jnp.float32(width // block)
-        bidf = jnp.floor(pix / pbf)
-        w_in = pix - bidf * pbf
-        browf = jnp.floor(bidf / bprf)
-        bcolf = bidf - browf * bprf
-        wrowf = jnp.floor(w_in / jnp.float32(block))
-        rowf = browf * block + wrowf
-        colf = bcolf * block + (w_in - wrowf * block)
-    else:
-        rowf = jnp.floor(pix / wf)
-        colf = pix - rowf * wf
+        # ---- ray ids / pixel coordinates (f32 exact below 2^24, asserted by
+        # the wrapper). ``rid`` is shard-local (bounds mask + block indexing);
+        # pixel decode uses the GLOBAL id. ----------------------------------
+        rid = ((pid * SUBLANES
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 0)) * LANES
+               + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        in_range = rid < n_rays
+        ridf = (rid + roff).astype(jnp.float32)
+        sppf = jnp.float32(spp)
+        pix = jnp.floor(ridf / sppf)
+        samp = ridf - pix * sppf
+        wf = jnp.float32(width)
+        if block:
+            # blocked pixel layout: consecutive ray slots fill a block x block
+            # pixel square, so each (SUBLANES, LANES) tile covers a COMPACT
+            # screen region — tile-level culling (grid cells, stream chunks)
+            # then sees a narrow frustum instead of a full-width strip. The
+            # host unpermutes the accumulator (render/mega._unblock_image).
+            pbf = jnp.float32(block * block)
+            bprf = jnp.float32(width // block)
+            bidf = jnp.floor(pix / pbf)
+            w_in = pix - bidf * pbf
+            browf = jnp.floor(bidf / bprf)
+            bcolf = bidf - browf * bprf
+            wrowf = jnp.floor(w_in / jnp.float32(block))
+            rowf = browf * block + wrowf
+            colf = bcolf * block + (w_in - wrowf * block)
+        else:
+            rowf = jnp.floor(pix / wf)
+            colf = pix - rowf * wf
 
-    def P(name, off=0):
-        return par[_PAR[name] + off]
+        def P(name, off=0):
+            return par[_PAR[name] + off]
 
-    ex, ey, ez = P("eye"), P("eye", 1), P("eye", 2)
-    ux, uy, uz = P("u"), P("u", 1), P("u", 2)
-    vx, vy, vz = P("v"), P("v", 1), P("v", 2)
-    wx, wy, wz = P("w"), P("w", 1), P("w", 2)
-    eps = P("eps")
+        ex, ey, ez = P("eye"), P("eye", 1), P("eye", 2)
+        ux, uy, uz = P("u"), P("u", 1), P("u", 2)
+        vx, vy, vz = P("v"), P("v", 1), P("v", 2)
+        wx, wy, wz = P("w"), P("w", 1), P("w", 2)
+        eps = P("eps")
 
-    # ---- film point -> pinhole dir -> focal point ----------------------
-    # (render/camera.py film_point/focal_points; ref getRay code.cl:108-119,
-    #  getFocalPoint code.cl:174-181)
-    su = (-0.5 + (colf + 0.5) / P("cols")) * P("film_w")
-    sv = (0.5 - (rowf + 0.5) / P("rows")) * P("film_h")
-    cx = su * ux + sv * vx - wx
-    cy = su * uy + sv * vy - wy
-    cz = su * uz + sv * vz - wz
-    px_, py_, pz_ = _normalize3(cx, cy, cz)
-    fl = P("focal")
-    pipd = -((ex - fl * wx) * wx + (ey - fl * wy) * wy + (ez - fl * wz) * wz)
-    t_f = -((ex * wx + ey * wy + ez * wz) + pipd) / \
-        (px_ * wx + py_ * wy + pz_ * wz)
-    fpx = ex + t_f * px_
-    fpy = ey + t_f * py_
-    fpz = ez + t_f * pz_
+        # ---- film point -> pinhole dir -> focal point ----------------------
+        # (render/camera.py film_point/focal_points; ref getRay code.cl:108-119,
+        #  getFocalPoint code.cl:174-181)
+        su = (-0.5 + (colf + 0.5) / P("cols")) * P("film_w")
+        sv = (0.5 - (rowf + 0.5) / P("rows")) * P("film_h")
+        cx = su * ux + sv * vx - wx
+        cy = su * uy + sv * vy - wy
+        cz = su * uz + sv * vz - wz
+        px_, py_, pz_ = _normalize3(cx, cy, cz)
+        fl = P("focal")
+        pipd = -((ex - fl * wx) * wx + (ey - fl * wy) * wy + (ez - fl * wz) * wz)
+        t_f = -((ex * wx + ey * wy + ez * wz) + pipd) / \
+            (px_ * wx + py_ * wy + pz_ * wz)
+        fpx = ex + t_f * px_
+        fpy = ey + t_f * py_
+        fpz = ez + t_f * pz_
 
-    # ---- thin-lens origin + dir (ref getThinLensRay code.cl:183-197) ----
-    if spp > 1:
-        k = int(round(spp ** 0.5))
-        draws.skip()                       # slot 0 reserved (XLA layout)
-        si = jnp.floor(samp / k)
-        sj = samp - si * k
-        u0 = (sj + 0.5) / k
-        u1 = (si + 0.5) / k
-    else:
-        u0, u1 = draws.pair()
-    dx_, dy_ = _concentric(u0, u1)
-    lr = P("lens_r")
-    ox = ex + lr * (dx_ * ux + dy_ * vx)
-    oy = ey + lr * (dx_ * uy + dy_ * vy)
-    oz = ez + lr * (dx_ * uz + dy_ * vz)
-    dx, dy, dz = _normalize3(fpx - ox, fpy - oy, fpz - oz)
+        # ---- thin-lens origin + dir (ref getThinLensRay code.cl:183-197) ----
+        if spp > 1:
+            k = int(round(spp ** 0.5))
+            draws.skip()                       # slot 0 reserved (XLA layout)
+            si = jnp.floor(samp / k)
+            sj = samp - si * k
+            u0 = (sj + 0.5) / k
+            u1 = (si + 0.5) / k
+        else:
+            u0, u1 = draws.pair()
+        dx_, dy_ = _concentric(u0, u1)
+        lr = P("lens_r")
+        ox = ex + lr * (dx_ * ux + dy_ * vx)
+        oy = ey + lr * (dx_ * uy + dy_ * vy)
+        oz = ez + lr * (dx_ * uz + dy_ * vz)
+        dx, dy, dz = _normalize3(fpx - ox, fpy - oy, fpz - oz)
 
-    # ---- clip to scene AABB (render/camera.py clip_to_bounds;
-    #      ref initTrace code.cl:495-501) -------------------------------
-    def slab(p_lo, p_hi, o_, d_):
-        sd = jnp.where(d_ == 0.0, 1e-30, d_)
-        t0 = (p_lo - o_) / sd
-        t1 = (p_hi - o_) / sd
-        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+        # ---- clip to scene AABB (render/camera.py clip_to_bounds;
+        #      ref initTrace code.cl:495-501) -------------------------------
+        def slab(p_lo, p_hi, o_, d_):
+            sd = jnp.where(d_ == 0.0, 1e-30, d_)
+            t0 = (p_lo - o_) / sd
+            t1 = (p_hi - o_) / sd
+            return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
 
-    n0, f0 = slab(P("pmin"), P("pmax"), ox, dx)
-    n1, f1 = slab(P("pmin", 1), P("pmax", 1), oy, dy)
-    n2, f2 = slab(P("pmin", 2), P("pmax", 2), oz, dz)
-    tmin = jnp.maximum(jnp.maximum(n0, jnp.maximum(n1, n2)), 0.0)
-    tmax = jnp.minimum(f0, jnp.minimum(f1, f2))
-    ok = (tmin <= tmax) & in_range
-    mint = jnp.where(ok, tmin, INF)
-    maxt = jnp.where(ok, tmax, INF)
+        n0, f0 = slab(P("pmin"), P("pmax"), ox, dx)
+        n1, f1 = slab(P("pmin", 1), P("pmax", 1), oy, dy)
+        n2, f2 = slab(P("pmin", 2), P("pmax", 2), oz, dz)
+        tmin = jnp.maximum(jnp.maximum(n0, jnp.maximum(n1, n2)), 0.0)
+        tmax = jnp.minimum(f0, jnp.minimum(f1, f2))
+        ok = (tmin <= tmax) & in_range
+        mint = jnp.where(ok, tmin, INF)
+        maxt = jnp.where(ok, tmax, INF)
 
-    inf2 = jnp.full(shape, INF)
+        inf2 = jnp.full(shape, INF)
 
-    # ---- closest hit over all geometry (ops/closest_hit.py;
-    #      ref sphereTrace/triangleTrace champion loops) -----------------
-    # large triangle sets run as fori_loop over SMEM; there, normal
-    # interpolation is DEFERRED out of the champion loop (carry champion
-    # beta/gamma/index, resolve the 9 vn reads in a cheap one-hot pass
-    # afterward) — ~20% fewer VPU ops per triangle on the hot loop.
-    # Streaming chunks interpolate inline (an O(n_tri) deferred pick pass
-    # would defeat the culling).
-    defer_interp = n_tri > UNROLL_OBJECTS and not stream_tri and not grid_tri
+        # ---- closest hit over all geometry (ops/closest_hit.py;
+        #      ref sphereTrace/triangleTrace champion loops) -----------------
+        # large triangle sets run as fori_loop over SMEM; there, normal
+        # interpolation is DEFERRED out of the champion loop (carry champion
+        # beta/gamma/index, resolve the 9 vn reads in a cheap one-hot pass
+        # afterward) — ~20% fewer VPU ops per triangle on the hot loop.
+        # Streaming chunks interpolate inline (an O(n_tri) deferred pick pass
+        # would defeat the culling).
+        defer_interp = n_tri > UNROLL_OBJECTS and not stream_tri and not grid_tri
 
-    def chunk_overlap(tab, c, ox, oy, oz, invdx, invdy, invdz, lo, hi):
-        """Does any ray's [lo, hi] window overlap chunk c's AABB (row c of
-        ``tab``: [pmin xyz, pmax xyz, ...])? Vector slab test against SMEM
-        scalar bounds + scalar any-reduce — the tile-level culling test
-        (grid analog; ~30 VPU ops/ray/chunk vs ~45*STREAM_CHUNK for the
-        chunk's objects)."""
-        t0x = (tab[c, 0] - ox) * invdx
-        t1x = (tab[c, 3] - ox) * invdx
-        t0y = (tab[c, 1] - oy) * invdy
-        t1y = (tab[c, 4] - oy) * invdy
-        t0z = (tab[c, 2] - oz) * invdz
-        t1z = (tab[c, 5] - oz) * invdz
-        near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                       jnp.minimum(t0y, t1y)),
-                           jnp.minimum(t0z, t1z))
-        far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                      jnp.maximum(t0y, t1y)),
-                          jnp.maximum(t0z, t1z))
-        return jnp.maximum(near, lo) <= jnp.minimum(far, hi)
+        def chunk_overlap(tab, c, ox, oy, oz, invdx, invdy, invdz, lo, hi):
+            """Does any ray's [lo, hi] window overlap chunk c's AABB (row c of
+            ``tab``: [pmin xyz, pmax xyz, ...])? Vector slab test against SMEM
+            scalar bounds + scalar any-reduce — the tile-level culling test
+            (grid analog; ~30 VPU ops/ray/chunk vs ~45*STREAM_CHUNK for the
+            chunk's objects)."""
+            t0x = (tab[c, 0] - ox) * invdx
+            t1x = (tab[c, 3] - ox) * invdx
+            t0y = (tab[c, 1] - oy) * invdy
+            t1y = (tab[c, 4] - oy) * invdy
+            t0z = (tab[c, 2] - oz) * invdz
+            t1z = (tab[c, 5] - oz) * invdz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                          jnp.maximum(t0y, t1y)),
+                              jnp.maximum(t0z, t1z))
+            return jnp.maximum(near, lo) <= jnp.minimum(far, hi)
 
-    def safe_inv(d_):
-        return 1.0 / jnp.where(d_ == 0.0, 1e-30, d_)
+        def safe_inv(d_):
+            return 1.0 / jnp.where(d_ == 0.0, 1e-30, d_)
 
-    def fetch_chunk(c):
-        cp = pltpu.make_async_copy(
-            tri.at[pl.ds(c * STREAM_CHUNK, STREAM_CHUNK), :],
-            smem_chunk, dma_sem)
-        cp.start()
-        cp.wait()
+        def fetch_chunk(c):
+            cp = pltpu.make_async_copy(
+                tri.at[pl.ds(c * STREAM_CHUNK, STREAM_CHUNK), :],
+                smem_chunk, dma_sem)
+            cp.start()
+            cp.wait()
 
-    def fetch_sph_chunk(c):
-        cp = pltpu.make_async_copy(
-            sph.at[pl.ds(c * STREAM_CHUNK, STREAM_CHUNK), :],
-            smem_sph, dma_sem)
-        cp.start()
-        cp.wait()
+        def fetch_sph_chunk(c):
+            cp = pltpu.make_async_copy(
+                sph.at[pl.ds(c * STREAM_CHUNK, STREAM_CHUNK), :],
+                smem_sph, dma_sem)
+            cp.start()
+            cp.wait()
 
-    def trace(ox, oy, oz, dx, dy, dz, mint, maxt):
-        alive = mint != maxt
-        a = dx * dx + dy * dy + dz * dz
-        inv2a = 0.5 / a
-        # o x d is loop-invariant across triangles — hoisted
-        xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
-        zero = jnp.zeros(shape)
-        init = (inf2, zero, zero, zero, jnp.full(shape, -1.0),
-                zero, zero, jnp.full(shape, -1.0))
+        def trace(ox, oy, oz, dx, dy, dz, mint, maxt):
+            alive = mint != maxt
+            a = dx * dx + dy * dy + dz * dz
+            inv2a = 0.5 / a
+            # o x d is loop-invariant across triangles — hoisted
+            xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
+            zero = jnp.zeros(shape)
+            init = (inf2, zero, zero, zero, jnp.full(shape, -1.0),
+                    zero, zero, jnp.full(shape, -1.0))
 
-        def sph_body(i, c):
-            bt, bnx, bny, bnz, bm, bbe, bga, bid = c
-            scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
-            r, mf, msk = sph[i, 3], sph[i, 4], sph[i, 5]
-            mx = ox - scx
-            my = oy - scy
-            mz = oz - scz
-            b = 2.0 * (mx * dx + my * dy + mz * dz)
-            cq = mx * mx + my * my + mz * mz - r * r
-            dis = b * b - 4.0 * a * cq
-            sq = jnp.sqrt(jnp.maximum(dis, 0.0))
-            t0 = (-b - sq) * inv2a
-            t1 = (-b + sq) * inv2a
-            tmn = jnp.minimum(t0, t1)
-            tmx = jnp.maximum(t0, t1)
-            t = jnp.where((tmn >= mint) & (tmn <= maxt), tmn,
-                          jnp.where((tmx >= mint) & (tmx <= maxt), tmx, inf2))
-            t = jnp.where((dis >= 0.0) & (msk > 0.0) & alive, t, inf2)
-            better = t < bt
-            ts = jnp.where(better, t, 0.0)
-            hnx, hny, hnz = _normalize3(ox + ts * dx - scx,
-                                        oy + ts * dy - scy,
-                                        oz + ts * dz - scz)
-            return (jnp.where(better, t, bt),
-                    jnp.where(better, hnx, bnx),
-                    jnp.where(better, hny, bny),
-                    jnp.where(better, hnz, bnz),
-                    jnp.where(better, mf, bm),
-                    bbe, bga,
-                    jnp.where(better, -1.0, bid))
-
-        def tri_body(i, c):
-            bt, bnx, bny, bnz, bm, bbe, bga, bid = c
-            ngx, ngy, ngz = tri[i, 0], tri[i, 1], tri[i, 2]
-            c1x, c1y, c1z = tri[i, 3], tri[i, 4], tri[i, 5]
-            c2x, c2y, c2z = tri[i, 6], tri[i, 7], tri[i, 8]
-            e1x, e1y, e1z = tri[i, 9], tri[i, 10], tri[i, 11]
-            e2x, e2y, e2z = tri[i, 12], tri[i, 13], tri[i, 14]
-            kk, mf, msk = tri[i, 15], tri[i, 16], tri[i, 17]
-            # Moller-Trumbore, constant-split form (ops/intersect.py
-            # triangle_ts_matmul; ref interTriangle code.cl:250-288)
-            div = ngx * dx + ngy * dy + ngz * dz
-            side_ok = (div != 0.0) if two_sided else (div > 0.0)
-            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
-            beta = (e2x * xx + e2y * xy_ + e2z * xz_
-                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
-            gamma = ((c1x * dx + c1y * dy + c1z * dz)
-                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
-            t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
-            okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
-                & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
-                & (msk > 0.0) & alive
-            t = jnp.where(okh, t, inf2)
-            better = t < bt
-            if defer_interp:
-                return (jnp.where(better, t, bt), bnx, bny, bnz,
-                        jnp.where(better, mf, bm),
-                        jnp.where(better, beta, bbe),
-                        jnp.where(better, gamma, bga),
-                        jnp.where(better, jnp.asarray(i, jnp.float32), bid))
-            # interpolated vertex normal (ref interp code.cl:405-411)
-            alpha = 1.0 - beta - gamma
-            hnx = alpha * tri[i, 18] + beta * tri[i, 21] + gamma * tri[i, 24]
-            hny = alpha * tri[i, 19] + beta * tri[i, 22] + gamma * tri[i, 25]
-            hnz = alpha * tri[i, 20] + beta * tri[i, 23] + gamma * tri[i, 26]
-            hnx, hny, hnz = _normalize3(hnx, hny, hnz)
-            return (jnp.where(better, t, bt),
-                    jnp.where(better, hnx, bnx),
-                    jnp.where(better, hny, bny),
-                    jnp.where(better, hnz, bnz),
-                    jnp.where(better, mf, bm),
-                    bbe, bga,
-                    jnp.where(better, -1.0, bid))
-
-        def make_tri_body5(tab):
-            """Inline-interp tri body over a scalar-indexed table ``tab``
-            (the DMA'd SMEM chunk, or the whole SMEM tri table with a
-            DYNAMIC grid-cell item index) with 5-tuple champion carry."""
-
-            def body(i, c):
-                bt, bnx, bny, bnz, bm = c
-                ngx, ngy, ngz = tab[i, 0], tab[i, 1], tab[i, 2]
-                c1x, c1y, c1z = tab[i, 3], tab[i, 4], tab[i, 5]
-                c2x, c2y, c2z = tab[i, 6], tab[i, 7], tab[i, 8]
-                e1x, e1y, e1z = tab[i, 9], tab[i, 10], tab[i, 11]
-                e2x, e2y, e2z = tab[i, 12], tab[i, 13], tab[i, 14]
-                kk, mf, msk = tab[i, 15], tab[i, 16], tab[i, 17]
-                div = ngx * dx + ngy * dy + ngz * dz
-                side_ok = (div != 0.0) if two_sided else (div > 0.0)
-                idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
-                beta = (e2x * xx + e2y * xy_ + e2z * xz_
-                        - (c2x * dx + c2y * dy + c2z * dz)) * idiv
-                gamma = ((c1x * dx + c1y * dy + c1z * dz)
-                         - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
-                t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
-                okh = side_ok & (beta >= 0.0) & (beta <= 1.0) \
-                    & (gamma >= 0.0) & (beta + gamma <= 1.0) \
-                    & (t >= mint) & (t <= maxt) & (msk > 0.0) & alive
-                t = jnp.where(okh, t, inf2)
-                better = t < bt
-                alpha = 1.0 - beta - gamma
-                hnx = alpha * tab[i, 18] + beta * tab[i, 21] \
-                    + gamma * tab[i, 24]
-                hny = alpha * tab[i, 19] + beta * tab[i, 22] \
-                    + gamma * tab[i, 25]
-                hnz = alpha * tab[i, 20] + beta * tab[i, 23] \
-                    + gamma * tab[i, 26]
-                hnx, hny, hnz = _normalize3(hnx, hny, hnz)
-                return (jnp.where(better, t, bt),
-                        jnp.where(better, hnx, bnx),
-                        jnp.where(better, hny, bny),
-                        jnp.where(better, hnz, bnz),
-                        jnp.where(better, mf, bm))
-
-            return body
-
-        def make_sph_body5(tab):
-            """Sphere champion body over a scalar-indexed table with
-            5-tuple carry (streamed SMEM chunk rows)."""
-
-            def body(i, c):
-                bt, bnx, bny, bnz, bm = c
-                scx, scy, scz = tab[i, 0], tab[i, 1], tab[i, 2]
-                r, mf, msk = tab[i, 3], tab[i, 4], tab[i, 5]
+            def sph_body(i, c):
+                bt, bnx, bny, bnz, bm, bbe, bga, bid = c
+                scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
+                r, mf, msk = sph[i, 3], sph[i, 4], sph[i, 5]
                 mx = ox - scx
                 my = oy - scy
                 mz = oz - scz
@@ -610,8 +531,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 tmn = jnp.minimum(t0, t1)
                 tmx = jnp.maximum(t0, t1)
                 t = jnp.where((tmn >= mint) & (tmn <= maxt), tmn,
-                              jnp.where((tmx >= mint) & (tmx <= maxt),
-                                        tmx, inf2))
+                              jnp.where((tmx >= mint) & (tmx <= maxt), tmx, inf2))
                 t = jnp.where((dis >= 0.0) & (msk > 0.0) & alive, t, inf2)
                 better = t < bt
                 ts = jnp.where(better, t, 0.0)
@@ -622,172 +542,147 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                         jnp.where(better, hnx, bnx),
                         jnp.where(better, hny, bny),
                         jnp.where(better, hnz, bnz),
-                        jnp.where(better, mf, bm))
+                        jnp.where(better, mf, bm),
+                        bbe, bga,
+                        jnp.where(better, -1.0, bid))
 
-            return body
+            def tri_body(i, c):
+                bt, bnx, bny, bnz, bm, bbe, bga, bid = c
+                ngx, ngy, ngz = tri[i, 0], tri[i, 1], tri[i, 2]
+                c1x, c1y, c1z = tri[i, 3], tri[i, 4], tri[i, 5]
+                c2x, c2y, c2z = tri[i, 6], tri[i, 7], tri[i, 8]
+                e1x, e1y, e1z = tri[i, 9], tri[i, 10], tri[i, 11]
+                e2x, e2y, e2z = tri[i, 12], tri[i, 13], tri[i, 14]
+                kk, mf, msk = tri[i, 15], tri[i, 16], tri[i, 17]
+                # Moller-Trumbore, constant-split form (ops/intersect.py
+                # triangle_ts_matmul; ref interTriangle code.cl:250-288)
+                div = ngx * dx + ngy * dy + ngz * dz
+                side_ok = (div != 0.0) if two_sided else (div > 0.0)
+                idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+                beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                        - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+                gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                         - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+                t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+                okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
+                    & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
+                    & (msk > 0.0) & alive
+                t = jnp.where(okh, t, inf2)
+                better = t < bt
+                if defer_interp:
+                    return (jnp.where(better, t, bt), bnx, bny, bnz,
+                            jnp.where(better, mf, bm),
+                            jnp.where(better, beta, bbe),
+                            jnp.where(better, gamma, bga),
+                            jnp.where(better, jnp.asarray(i, jnp.float32), bid))
+                # interpolated vertex normal (ref interp code.cl:405-411)
+                alpha = 1.0 - beta - gamma
+                hnx = alpha * tri[i, 18] + beta * tri[i, 21] + gamma * tri[i, 24]
+                hny = alpha * tri[i, 19] + beta * tri[i, 22] + gamma * tri[i, 25]
+                hnz = alpha * tri[i, 20] + beta * tri[i, 23] + gamma * tri[i, 26]
+                hnx, hny, hnz = _normalize3(hnx, hny, hnz)
+                return (jnp.where(better, t, bt),
+                        jnp.where(better, hnx, bnx),
+                        jnp.where(better, hny, bny),
+                        jnp.where(better, hnz, bnz),
+                        jnp.where(better, mf, bm),
+                        bbe, bga,
+                        jnp.where(better, -1.0, bid))
 
-        def stream_cell_loop(goff, gb, gtab, make_body5):
-            """Streamed-grid cell visit for the CLOSEST-HIT search: slab
-            test vs the cell AABB against each ray's live [mint,
-            min(maxt, champion)] window; visited cells DMA their
-            cell-major rows in GRID_CHUNK sub-chunks (DOUBLE-BUFFERED —
-            the next sub-chunk's fetch overlaps the current one's
-            champion loop) and champion them with masked fori (count =
-            CSR extent)."""
+            def make_tri_body5(tab):
+                """Inline-interp tri body over a scalar-indexed table ``tab``
+                (the DMA'd SMEM chunk, or the whole SMEM tri table with a
+                DYNAMIC grid-cell item index) with 5-tuple champion carry."""
 
-            def gchunk_dma_at(lo_off, k, slot):
-                # reconstructed for start and wait (guide's pattern)
-                return pltpu.make_async_copy(
-                    gtab.at[pl.ds(lo_off + k * GRID_CHUNK,
-                                  GRID_CHUNK), :],
-                    smem_gchunk.at[slot], gdma_sem.at[slot])
+                def body(i, c):
+                    bt, bnx, bny, bnz, bm = c
+                    ngx, ngy, ngz = tab[i, 0], tab[i, 1], tab[i, 2]
+                    c1x, c1y, c1z = tab[i, 3], tab[i, 4], tab[i, 5]
+                    c2x, c2y, c2z = tab[i, 6], tab[i, 7], tab[i, 8]
+                    e1x, e1y, e1z = tab[i, 9], tab[i, 10], tab[i, 11]
+                    e2x, e2y, e2z = tab[i, 12], tab[i, 13], tab[i, 14]
+                    kk, mf, msk = tab[i, 15], tab[i, 16], tab[i, 17]
+                    div = ngx * dx + ngy * dy + ngz * dz
+                    side_ok = (div != 0.0) if two_sided else (div > 0.0)
+                    idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+                    beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                            - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+                    gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                             - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+                    t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+                    okh = side_ok & (beta >= 0.0) & (beta <= 1.0) \
+                        & (gamma >= 0.0) & (beta + gamma <= 1.0) \
+                        & (t >= mint) & (t <= maxt) & (msk > 0.0) & alive
+                    t = jnp.where(okh, t, inf2)
+                    better = t < bt
+                    alpha = 1.0 - beta - gamma
+                    hnx = alpha * tab[i, 18] + beta * tab[i, 21] \
+                        + gamma * tab[i, 24]
+                    hny = alpha * tab[i, 19] + beta * tab[i, 22] \
+                        + gamma * tab[i, 25]
+                    hnz = alpha * tab[i, 20] + beta * tab[i, 23] \
+                        + gamma * tab[i, 26]
+                    hnx, hny, hnz = _normalize3(hnx, hny, hnz)
+                    return (jnp.where(better, t, bt),
+                            jnp.where(better, hnx, bnx),
+                            jnp.where(better, hny, bny),
+                            jnp.where(better, hnz, bnz),
+                            jnp.where(better, mf, bm))
 
-            def cell_loop(ci, _):
-                lo_off = goff[ci]
-                hi_off = goff[ci + 1]
-                near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
-                                   gb[ci, 3], gb[ci, 4], gb[ci, 5],
-                                   ox, oy, oz, invdx, invdy, invdz)
-                hi = jnp.minimum(maxt, s_bt[:])
-                overlap = (jnp.maximum(near, mint)
-                           <= jnp.minimum(far, hi)) & alive
+                return body
 
-                @pl.when(jnp.any(overlap) & (lo_off < hi_off))
-                def _():
-                    nsub = (hi_off - lo_off + GRID_CHUNK - 1) // GRID_CHUNK
-                    gchunk_dma_at(lo_off, 0, 0).start()
+            def make_sph_body5(tab):
+                """Sphere champion body over a scalar-indexed table with
+                5-tuple carry (streamed SMEM chunk rows)."""
 
-                    def sub(k, _2):
-                        slot = jax.lax.rem(k, 2)
+                def body(i, c):
+                    bt, bnx, bny, bnz, bm = c
+                    scx, scy, scz = tab[i, 0], tab[i, 1], tab[i, 2]
+                    r, mf, msk = tab[i, 3], tab[i, 4], tab[i, 5]
+                    mx = ox - scx
+                    my = oy - scy
+                    mz = oz - scz
+                    b = 2.0 * (mx * dx + my * dy + mz * dz)
+                    cq = mx * mx + my * my + mz * mz - r * r
+                    dis = b * b - 4.0 * a * cq
+                    sq = jnp.sqrt(jnp.maximum(dis, 0.0))
+                    t0 = (-b - sq) * inv2a
+                    t1 = (-b + sq) * inv2a
+                    tmn = jnp.minimum(t0, t1)
+                    tmx = jnp.maximum(t0, t1)
+                    t = jnp.where((tmn >= mint) & (tmn <= maxt), tmn,
+                                  jnp.where((tmx >= mint) & (tmx <= maxt),
+                                            tmx, inf2))
+                    t = jnp.where((dis >= 0.0) & (msk > 0.0) & alive, t, inf2)
+                    better = t < bt
+                    ts = jnp.where(better, t, 0.0)
+                    hnx, hny, hnz = _normalize3(ox + ts * dx - scx,
+                                                oy + ts * dy - scy,
+                                                oz + ts * dz - scz)
+                    return (jnp.where(better, t, bt),
+                            jnp.where(better, hnx, bnx),
+                            jnp.where(better, hny, bny),
+                            jnp.where(better, hnz, bnz),
+                            jnp.where(better, mf, bm))
 
-                        @pl.when(k + 1 < nsub)
-                        def _():
-                            gchunk_dma_at(lo_off, k + 1,
-                                          1 - slot).start()
+                return body
 
-                        gchunk_dma_at(lo_off, k, slot).wait()
-                        cnt = jnp.minimum(jnp.int32(GRID_CHUNK),
-                                          hi_off - k * GRID_CHUNK
-                                          - lo_off)
-                        body5 = make_body5(_SlotView(smem_gchunk, slot))
-                        carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
-                                 s_bm[:])
-                        carry = jax.lax.fori_loop(0, cnt, body5, carry)
-                        (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
-                         s_bm[:]) = carry
-                        return 0
+            def stream_cell_loop(goff, gb, gtab, make_body5):
+                """Streamed-grid cell visit for the CLOSEST-HIT search: slab
+                test vs the cell AABB against each ray's live [mint,
+                min(maxt, champion)] window; visited cells DMA their
+                cell-major rows in GRID_CHUNK sub-chunks (DOUBLE-BUFFERED —
+                the next sub-chunk's fetch overlaps the current one's
+                champion loop) and champion them with masked fori (count =
+                CSR extent)."""
 
-                    jax.lax.fori_loop(0, nsub, sub, 0)
-                return 0
+                def gchunk_dma_at(lo_off, k, slot):
+                    # reconstructed for start and wait (guide's pattern)
+                    return pltpu.make_async_copy(
+                        gtab.at[pl.ds(lo_off + k * GRID_CHUNK,
+                                      GRID_CHUNK), :],
+                        smem_gchunk.at[slot], gdma_sem.at[slot])
 
-            return cell_loop
-
-        c = init
-        if n_sph and sph_grid_n:
-            # in-kernel sphere grid: cells visited under the shrinking
-            # champion window — the fix for dense-cloud bounce rays, where
-            # Morton-chunk streaming's per-chunk AABBs all overlap but a
-            # short champion window crosses only a few CELLS
-            s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
-            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-            sgoff, sgpar, sgb, sgtab = sph_grid_args
-            cell_loop = stream_cell_loop(sgoff, sgb, sgtab,
-                                         make_sph_body5)
-            gnear, gfar = _slab6(
-                sgpar[0], sgpar[1], sgpar[2],
-                sgpar[0] + float(sph_grid_n[0]) * sgpar[3],
-                sgpar[1] + float(sph_grid_n[1]) * sgpar[4],
-                sgpar[2] + float(sph_grid_n[2]) * sgpar[5],
-                ox, oy, oz, invdx, invdy, invdz)
-            ghit = (jnp.maximum(gnear, mint)
-                    <= jnp.minimum(gfar, jnp.minimum(maxt, s_bt[:]))) & alive
-
-            @pl.when(jnp.any(ghit))
-            def _():
-                _loop_cells(sph_grid_n, cell_loop)
-
-            c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
-                 c[5], c[6], c[7])
-        if n_sph and not stream_sph and not sph_grid_n:
-            c = _loop_objects(n_sph, sph_body, c)
-        if n_sph and stream_sph:
-            # streamed spheres (big molecules): Morton chunks + per-chunk
-            # AABB culling, same scheme as triangle streaming
-            s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
-            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-            sph_body_smem = make_sph_body5(smem_sph)
-
-            def sph_chunk_loop(ci, _):
-                hi = jnp.minimum(maxt, s_bt[:])
-                overlap = chunk_overlap(schk, ci, ox, oy, oz,
-                                        invdx, invdy, invdz, mint, hi)
-                overlap = overlap & alive
-
-                @pl.when(jnp.any(overlap))
-                def _():
-                    fetch_sph_chunk(ci)
-                    carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:])
-                    carry = jax.lax.fori_loop(0, STREAM_CHUNK,
-                                              sph_body_smem, carry)
-                    s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = carry
-                return 0
-
-            jax.lax.fori_loop(0, n_sph_chunks, sph_chunk_loop, 0)
-            c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
-                 c[5], c[6], c[7])
-        if n_tri and not stream_tri and not grid_tri:
-            c = _loop_objects(n_tri, tri_body, c)
-        if n_tri and stream_tri:
-            # tile-level chunk culling: champion state parks in VMEM
-            # scratch so chunks a tile cannot hit are skipped entirely
-            # (pl.when over the scalar any-reduce)
-            s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
-            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-            tri_body_smem = make_tri_body5(smem_chunk)
-
-            def chunk_loop(ci, _):
-                bt_cur = s_bt[:]
-                hi = jnp.minimum(maxt, bt_cur)
-                overlap = chunk_overlap(chk, ci, ox, oy, oz,
-                                        invdx, invdy, invdz, mint, hi)
-                overlap = overlap & alive
-
-                @pl.when(jnp.any(overlap))
-                def _():
-                    fetch_chunk(ci)
-                    carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:])
-                    carry = jax.lax.fori_loop(0, STREAM_CHUNK,
-                                              tri_body_smem, carry)
-                    s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = carry
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
-            c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
-                 c[5], c[6], c[7])
-        if grid_tri:
-            # uniform-grid closest hit at TILE granularity (the TPU-native
-            # DDA, ref sphereTrace/triangleTrace code.cl:675-935): scene
-            # triangles [0, grid_start) run the brute loop (the reference's
-            # triangleTrace vs per-mesh meshTrace dispatch split,
-            # code.js:1293-1303 — face-spanning walls would bin into
-            # O(n^2) cells each); gridded triangles are visited per cell:
-            # a vector slab test of every ray's live [mint, min(maxt,
-            # champion)] window against the cell AABB + a scalar any-reduce
-            # decides whether the tile visits the cell's item list at all.
-            # RESIDENT grids read items as DYNAMIC scalar indices into the
-            # SMEM triangle table; STREAMED grids DMA the cell's rows from
-            # the HBM cell-major table. One grid per large mesh, each with
-            # its own resolution and AABB gate (per-mesh nslabs parity).
-            # Cell visit order is storage order — correctness does not
-            # depend on it (champion over binned items == brute force;
-            # duplicated hits idempotent, SURVEY §7 quirk 9); shrinking
-            # champion windows still cull back-of-scene cells.
-            tri_body_dyn = make_tri_body5(tri)
-            c5 = _loop_objects(grid_start, tri_body_dyn, c[0:5])
-            s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c5
-            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-
-            def resident_cell_loop(goff, gitems, gb):
                 def cell_loop(ci, _):
                     lo_off = goff[ci]
                     hi_off = goff[ci + 1]
@@ -800,147 +695,253 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
 
                     @pl.when(jnp.any(overlap) & (lo_off < hi_off))
                     def _():
-                        carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
-                                 s_bm[:])
-                        carry = jax.lax.fori_loop(
-                            lo_off, hi_off,
-                            lambda j, cc: tri_body_dyn(gitems[j], cc),
-                            carry)
-                        (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
-                         s_bm[:]) = carry
+                        nsub = (hi_off - lo_off + GRID_CHUNK - 1) // GRID_CHUNK
+                        gchunk_dma_at(lo_off, 0, 0).start()
+
+                        def sub(k, _2):
+                            slot = jax.lax.rem(k, 2)
+
+                            @pl.when(k + 1 < nsub)
+                            def _():
+                                gchunk_dma_at(lo_off, k + 1,
+                                              1 - slot).start()
+
+                            gchunk_dma_at(lo_off, k, slot).wait()
+                            cnt = jnp.minimum(jnp.int32(GRID_CHUNK),
+                                              hi_off - k * GRID_CHUNK
+                                              - lo_off)
+                            body5 = make_body5(_SlotView(smem_gchunk, slot))
+                            carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
+                                     s_bm[:])
+                            carry = jax.lax.fori_loop(0, cnt, body5, carry)
+                            (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
+                             s_bm[:]) = carry
+                            return 0
+
+                        jax.lax.fori_loop(0, nsub, sub, 0)
                     return 0
 
                 return cell_loop
 
-            for gi, gn in enumerate(tri_grids):
-                if grid_streamed:
-                    goff_g, gpar_g, gb_g, gtab_g = tri_grid_args[gi]
-                    cell_loop = stream_cell_loop(
-                        goff_g, gb_g, gtab_g, make_tri_body5)
-                else:
-                    goff_g, gitems_g, gpar_g, gb_g = tri_grid_args[gi]
-                    cell_loop = resident_cell_loop(goff_g, gitems_g, gb_g)
+            if sph_grid_n or grid_tri:
+                # closest-hit EARLY EXIT support: a cell at eye-distance
+                # >= gd can only produce t >= gd - |eye - o| for a ray
+                # from origin o (|d| = 1), so once every ray's champion
+                # window ends before that, remaining (front-to-back
+                # sorted) cells cannot win — the reference DDA's march
+                # break at tile granularity (code.cl:745-786)
+                eyed = jnp.sqrt((ox - ex) ** 2 + (oy - ey) ** 2
+                                + (oz - ez) ** 2)
+
+                def mk_hit_done(gdist_ref):
+                    def done(ci):
+                        hi = jnp.minimum(maxt, s_bt[:])
+                        gd = gdist_ref[ci]
+                        return jnp.logical_not(
+                            jnp.any(alive & (hi + eyed >= gd)))
+                    return done
+
+            c = init
+            if n_sph and sph_grid_n:
+                # in-kernel sphere grid: cells visited under the shrinking
+                # champion window — the fix for dense-cloud bounce rays, where
+                # Morton-chunk streaming's per-chunk AABBs all overlap but a
+                # short champion window crosses only a few CELLS
+                s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
+                invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+                sgoff, sgpar, sgb, sgtab, sgdist = sph_grid_args
+                cell_loop = stream_cell_loop(sgoff, sgb, sgtab,
+                                             make_sph_body5)
                 gnear, gfar = _slab6(
-                    gpar_g[0], gpar_g[1], gpar_g[2],
-                    gpar_g[0] + float(gn[0]) * gpar_g[3],
-                    gpar_g[1] + float(gn[1]) * gpar_g[4],
-                    gpar_g[2] + float(gn[2]) * gpar_g[5],
+                    sgpar[0], sgpar[1], sgpar[2],
+                    sgpar[0] + float(sph_grid_n[0]) * sgpar[3],
+                    sgpar[1] + float(sph_grid_n[1]) * sgpar[4],
+                    sgpar[2] + float(sph_grid_n[2]) * sgpar[5],
                     ox, oy, oz, invdx, invdy, invdz)
                 ghit = (jnp.maximum(gnear, mint)
-                        <= jnp.minimum(gfar, jnp.minimum(maxt, s_bt[:]))) \
-                    & alive
+                        <= jnp.minimum(gfar, jnp.minimum(maxt, s_bt[:]))) & alive
 
                 @pl.when(jnp.any(ghit))
-                def _(cell_loop=cell_loop, gn=gn):
-                    _loop_cells(gn, cell_loop)
+                def _():
+                    _loop_early(sph_grid_n[0] * sph_grid_n[1]
+                                * sph_grid_n[2], cell_loop,
+                                mk_hit_done(sgdist))
 
-            c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
-                 c[5], c[6], c[7])
-        bt, bnx, bny, bnz, bm, bbe, bga, bid = c
-        if defer_interp and n_tri:
-            # one-hot vn fetch for the champion triangle, then interpolate
-            # once (identical math/order to the inline form)
-            zero = jnp.zeros(shape)
-            vn = (zero,) * 9
+                c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
+                     c[5], c[6], c[7])
+            if n_sph and not stream_sph and not sph_grid_n:
+                c = _loop_objects(n_sph, sph_body, c)
+            if n_sph and stream_sph:
+                # streamed spheres (big molecules): Morton chunks + per-chunk
+                # AABB culling, same scheme as triangle streaming
+                s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
+                invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+                sph_body_smem = make_sph_body5(smem_sph)
 
-            def pick(i, vn):
-                sel = bid == jnp.asarray(i, jnp.float32)
-                return tuple(jnp.where(sel, tri[i, 18 + j], vn[j])
-                             for j in range(9))
+                def sph_chunk_loop(ci, _):
+                    hi = jnp.minimum(maxt, s_bt[:])
+                    overlap = chunk_overlap(schk, ci, ox, oy, oz,
+                                            invdx, invdy, invdz, mint, hi)
+                    overlap = overlap & alive
 
-            vn = _loop_objects(n_tri, pick, vn)
-            alpha = 1.0 - bbe - bga
-            hnx = alpha * vn[0] + bbe * vn[3] + bga * vn[6]
-            hny = alpha * vn[1] + bbe * vn[4] + bga * vn[7]
-            hnz = alpha * vn[2] + bbe * vn[5] + bga * vn[8]
-            hnx, hny, hnz = _normalize3(hnx, hny, hnz)
-            is_tri = bid >= 0.0
-            bnx = jnp.where(is_tri, hnx, bnx)
-            bny = jnp.where(is_tri, hny, bny)
-            bnz = jnp.where(is_tri, hnz, bnz)
-        found = bm >= 0.0
-        ts = jnp.where(found, bt, 0.0)
-        hpx = ox + ts * dx
-        hpy = oy + ts * dy
-        hpz = oz + ts * dz
-        new_maxt = jnp.where(found, bt, maxt)
-        return new_maxt, (hpx, hpy, hpz, bnx, bny, bnz, bm)
+                    @pl.when(jnp.any(overlap))
+                    def _():
+                        fetch_sph_chunk(ci)
+                        carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:])
+                        carry = jax.lax.fori_loop(0, STREAM_CHUNK,
+                                                  sph_body_smem, carry)
+                        s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = carry
+                    return 0
 
-    def anyhit(ox, oy, oz, dx, dy, dz, mint, maxt):
-        """Occlusion (ref *ShadowTrace code.cl:1073-1321; explicit bool).
-        The fori_loop carry is f32 0/1 — Mosaic cannot legalize i1-vector
-        loop carries."""
-        alive = mint != maxt
-        a = dx * dx + dy * dy + dz * dz
-        inv2a = 0.5 / a
-        xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
+                jax.lax.fori_loop(0, n_sph_chunks, sph_chunk_loop, 0)
+                c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
+                     c[5], c[6], c[7])
+            if n_tri and not stream_tri and not grid_tri:
+                c = _loop_objects(n_tri, tri_body, c)
+            if n_tri and stream_tri:
+                # tile-level chunk culling: champion state parks in VMEM
+                # scratch so chunks a tile cannot hit are skipped entirely
+                # (pl.when over the scalar any-reduce)
+                s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
+                invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+                tri_body_smem = make_tri_body5(smem_chunk)
 
-        def sph_body(i, occ):
-            scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
-            r, msk = sph[i, 3], sph[i, 5]
-            mx = ox - scx
-            my = oy - scy
-            mz = oz - scz
-            b = 2.0 * (mx * dx + my * dy + mz * dz)
-            cq = mx * mx + my * my + mz * mz - r * r
-            dis = b * b - 4.0 * a * cq
-            sq = jnp.sqrt(jnp.maximum(dis, 0.0))
-            t0 = (-b - sq) * inv2a
-            t1 = (-b + sq) * inv2a
-            tmn = jnp.minimum(t0, t1)
-            tmx = jnp.maximum(t0, t1)
-            hit = ((tmn >= mint) & (tmn <= maxt)) | \
-                  ((tmx >= mint) & (tmx <= maxt))
-            hit = hit & (dis >= 0.0) & (msk > 0.0) & alive
-            return jnp.where(hit, 1.0, occ)
+                def chunk_loop(ci, _):
+                    bt_cur = s_bt[:]
+                    hi = jnp.minimum(maxt, bt_cur)
+                    overlap = chunk_overlap(chk, ci, ox, oy, oz,
+                                            invdx, invdy, invdz, mint, hi)
+                    overlap = overlap & alive
 
-        def tri_body(i, occ):
-            ngx, ngy, ngz = tri[i, 0], tri[i, 1], tri[i, 2]
-            c1x, c1y, c1z = tri[i, 3], tri[i, 4], tri[i, 5]
-            c2x, c2y, c2z = tri[i, 6], tri[i, 7], tri[i, 8]
-            e1x, e1y, e1z = tri[i, 9], tri[i, 10], tri[i, 11]
-            e2x, e2y, e2z = tri[i, 12], tri[i, 13], tri[i, 14]
-            kk, msk = tri[i, 15], tri[i, 17]
-            div = ngx * dx + ngy * dy + ngz * dz
-            side_ok = (div != 0.0) if two_sided else (div > 0.0)
-            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
-            beta = (e2x * xx + e2y * xy_ + e2z * xz_
-                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
-            gamma = ((c1x * dx + c1y * dy + c1z * dz)
-                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
-            t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
-            okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
-                & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
-                & (msk > 0.0) & alive
-            return jnp.where(okh, 1.0, occ)
+                    @pl.when(jnp.any(overlap))
+                    def _():
+                        fetch_chunk(ci)
+                        carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:])
+                        carry = jax.lax.fori_loop(0, STREAM_CHUNK,
+                                                  tri_body_smem, carry)
+                        s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = carry
+                    return 0
 
-        def make_tri_occ_body(tab):
-            def body(i, occ):
-                ngx, ngy, ngz = tab[i, 0], tab[i, 1], tab[i, 2]
-                c1x, c1y, c1z = tab[i, 3], tab[i, 4], tab[i, 5]
-                c2x, c2y, c2z = tab[i, 6], tab[i, 7], tab[i, 8]
-                e1x, e1y, e1z = tab[i, 9], tab[i, 10], tab[i, 11]
-                e2x, e2y, e2z = tab[i, 12], tab[i, 13], tab[i, 14]
-                kk, msk = tab[i, 15], tab[i, 17]
-                div = ngx * dx + ngy * dy + ngz * dz
-                side_ok = (div != 0.0) if two_sided else (div > 0.0)
-                idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
-                beta = (e2x * xx + e2y * xy_ + e2z * xz_
-                        - (c2x * dx + c2y * dy + c2z * dz)) * idiv
-                gamma = ((c1x * dx + c1y * dy + c1z * dz)
-                         - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
-                t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
-                okh = side_ok & (beta >= 0.0) & (beta <= 1.0) \
-                    & (gamma >= 0.0) & (beta + gamma <= 1.0) \
-                    & (t >= mint) & (t <= maxt) & (msk > 0.0) & alive
-                return jnp.where(okh, 1.0, occ)
+                jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
+                c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
+                     c[5], c[6], c[7])
+            if grid_tri:
+                # uniform-grid closest hit at TILE granularity (the TPU-native
+                # DDA, ref sphereTrace/triangleTrace code.cl:675-935): scene
+                # triangles [0, grid_start) run the brute loop (the reference's
+                # triangleTrace vs per-mesh meshTrace dispatch split,
+                # code.js:1293-1303 — face-spanning walls would bin into
+                # O(n^2) cells each); gridded triangles are visited per cell:
+                # a vector slab test of every ray's live [mint, min(maxt,
+                # champion)] window against the cell AABB + a scalar any-reduce
+                # decides whether the tile visits the cell's item list at all.
+                # RESIDENT grids read items as DYNAMIC scalar indices into the
+                # SMEM triangle table; STREAMED grids DMA the cell's rows from
+                # the HBM cell-major table. One grid per large mesh, each with
+                # its own resolution and AABB gate (per-mesh nslabs parity).
+                # Cell visit order is storage order — correctness does not
+                # depend on it (champion over binned items == brute force;
+                # duplicated hits idempotent, SURVEY §7 quirk 9); shrinking
+                # champion windows still cull back-of-scene cells.
+                tri_body_dyn = make_tri_body5(tri)
+                c5 = _loop_objects(grid_start, tri_body_dyn, c[0:5])
+                s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c5
+                invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-            return body
+                def resident_cell_loop(goff, gitems, gb):
+                    def cell_loop(ci, _):
+                        lo_off = goff[ci]
+                        hi_off = goff[ci + 1]
+                        near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
+                                           gb[ci, 3], gb[ci, 4], gb[ci, 5],
+                                           ox, oy, oz, invdx, invdy, invdz)
+                        hi = jnp.minimum(maxt, s_bt[:])
+                        overlap = (jnp.maximum(near, mint)
+                                   <= jnp.minimum(far, hi)) & alive
 
-        def make_sph_occ_body(tab):
-            def body(i, occ):
-                scx, scy, scz = tab[i, 0], tab[i, 1], tab[i, 2]
-                r, msk = tab[i, 3], tab[i, 5]
+                        @pl.when(jnp.any(overlap) & (lo_off < hi_off))
+                        def _():
+                            carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
+                                     s_bm[:])
+                            carry = jax.lax.fori_loop(
+                                lo_off, hi_off,
+                                lambda j, cc: tri_body_dyn(gitems[j], cc),
+                                carry)
+                            (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
+                             s_bm[:]) = carry
+                        return 0
+
+                    return cell_loop
+
+                for gi, gn in enumerate(tri_grids):
+                    if grid_streamed:
+                        (goff_g, gpar_g, gb_g, gtab_g,
+                         gdist_g) = tri_grid_args[gi]
+                        cell_loop = stream_cell_loop(
+                            goff_g, gb_g, gtab_g, make_tri_body5)
+                    else:
+                        (goff_g, gitems_g, gpar_g, gb_g,
+                         gdist_g) = tri_grid_args[gi]
+                        cell_loop = resident_cell_loop(goff_g, gitems_g, gb_g)
+                    gnear, gfar = _slab6(
+                        gpar_g[0], gpar_g[1], gpar_g[2],
+                        gpar_g[0] + float(gn[0]) * gpar_g[3],
+                        gpar_g[1] + float(gn[1]) * gpar_g[4],
+                        gpar_g[2] + float(gn[2]) * gpar_g[5],
+                        ox, oy, oz, invdx, invdy, invdz)
+                    ghit = (jnp.maximum(gnear, mint)
+                            <= jnp.minimum(gfar, jnp.minimum(maxt, s_bt[:]))) \
+                        & alive
+
+                    @pl.when(jnp.any(ghit))
+                    def _(cell_loop=cell_loop, gn=gn, gdist_g=gdist_g):
+                        _loop_early(gn[0] * gn[1] * gn[2], cell_loop,
+                                    mk_hit_done(gdist_g))
+
+                c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
+                     c[5], c[6], c[7])
+            bt, bnx, bny, bnz, bm, bbe, bga, bid = c
+            if defer_interp and n_tri:
+                # one-hot vn fetch for the champion triangle, then interpolate
+                # once (identical math/order to the inline form)
+                zero = jnp.zeros(shape)
+                vn = (zero,) * 9
+
+                def pick(i, vn):
+                    sel = bid == jnp.asarray(i, jnp.float32)
+                    return tuple(jnp.where(sel, tri[i, 18 + j], vn[j])
+                                 for j in range(9))
+
+                vn = _loop_objects(n_tri, pick, vn)
+                alpha = 1.0 - bbe - bga
+                hnx = alpha * vn[0] + bbe * vn[3] + bga * vn[6]
+                hny = alpha * vn[1] + bbe * vn[4] + bga * vn[7]
+                hnz = alpha * vn[2] + bbe * vn[5] + bga * vn[8]
+                hnx, hny, hnz = _normalize3(hnx, hny, hnz)
+                is_tri = bid >= 0.0
+                bnx = jnp.where(is_tri, hnx, bnx)
+                bny = jnp.where(is_tri, hny, bny)
+                bnz = jnp.where(is_tri, hnz, bnz)
+            found = bm >= 0.0
+            ts = jnp.where(found, bt, 0.0)
+            hpx = ox + ts * dx
+            hpy = oy + ts * dy
+            hpz = oz + ts * dz
+            new_maxt = jnp.where(found, bt, maxt)
+            return new_maxt, (hpx, hpy, hpz, bnx, bny, bnz, bm)
+
+        def anyhit(ox, oy, oz, dx, dy, dz, mint, maxt):
+            """Occlusion (ref *ShadowTrace code.cl:1073-1321; explicit bool).
+            The fori_loop carry is f32 0/1 — Mosaic cannot legalize i1-vector
+            loop carries."""
+            alive = mint != maxt
+            a = dx * dx + dy * dy + dz * dz
+            inv2a = 0.5 / a
+            xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
+
+            def sph_body(i, occ):
+                scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
+                r, msk = sph[i, 3], sph[i, 5]
                 mx = ox - scx
                 my = oy - scy
                 mz = oz - scz
@@ -957,132 +958,83 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 hit = hit & (dis >= 0.0) & (msk > 0.0) & alive
                 return jnp.where(hit, 1.0, occ)
 
-            return body
+            def tri_body(i, occ):
+                ngx, ngy, ngz = tri[i, 0], tri[i, 1], tri[i, 2]
+                c1x, c1y, c1z = tri[i, 3], tri[i, 4], tri[i, 5]
+                c2x, c2y, c2z = tri[i, 6], tri[i, 7], tri[i, 8]
+                e1x, e1y, e1z = tri[i, 9], tri[i, 10], tri[i, 11]
+                e2x, e2y, e2z = tri[i, 12], tri[i, 13], tri[i, 14]
+                kk, msk = tri[i, 15], tri[i, 17]
+                div = ngx * dx + ngy * dy + ngz * dz
+                side_ok = (div != 0.0) if two_sided else (div > 0.0)
+                idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+                beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                        - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+                gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                         - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+                t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+                okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
+                    & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
+                    & (msk > 0.0) & alive
+                return jnp.where(okh, 1.0, occ)
 
-        def stream_cell_loop_occ(goff, gb, gtab, make_body_occ):
-            """Streamed-grid cell visit for OCCLUSION: cells whose AABB no
-            still-unoccluded ray's segment overlaps are skipped; visited
-            cells DMA their rows in GRID_CHUNK sub-chunks
-            (double-buffered)."""
+            def make_tri_occ_body(tab):
+                def body(i, occ):
+                    ngx, ngy, ngz = tab[i, 0], tab[i, 1], tab[i, 2]
+                    c1x, c1y, c1z = tab[i, 3], tab[i, 4], tab[i, 5]
+                    c2x, c2y, c2z = tab[i, 6], tab[i, 7], tab[i, 8]
+                    e1x, e1y, e1z = tab[i, 9], tab[i, 10], tab[i, 11]
+                    e2x, e2y, e2z = tab[i, 12], tab[i, 13], tab[i, 14]
+                    kk, msk = tab[i, 15], tab[i, 17]
+                    div = ngx * dx + ngy * dy + ngz * dz
+                    side_ok = (div != 0.0) if two_sided else (div > 0.0)
+                    idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+                    beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                            - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+                    gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                             - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+                    t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+                    okh = side_ok & (beta >= 0.0) & (beta <= 1.0) \
+                        & (gamma >= 0.0) & (beta + gamma <= 1.0) \
+                        & (t >= mint) & (t <= maxt) & (msk > 0.0) & alive
+                    return jnp.where(okh, 1.0, occ)
 
-            def gchunk_dma_at(lo_off, k, slot):
-                return pltpu.make_async_copy(
-                    gtab.at[pl.ds(lo_off + k * GRID_CHUNK,
-                                  GRID_CHUNK), :],
-                    smem_gchunk.at[slot], gdma_sem.at[slot])
+                return body
 
-            def cell_loop(ci, _):
-                lo_off = goff[ci]
-                hi_off = goff[ci + 1]
-                near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
-                                   gb[ci, 3], gb[ci, 4], gb[ci, 5],
-                                   ox, oy, oz, invdx, invdy, invdz)
-                free = s_bt[:] == 0.0
-                overlap = (jnp.maximum(near, mint)
-                           <= jnp.minimum(far, maxt)) & alive & free
+            def make_sph_occ_body(tab):
+                def body(i, occ):
+                    scx, scy, scz = tab[i, 0], tab[i, 1], tab[i, 2]
+                    r, msk = tab[i, 3], tab[i, 5]
+                    mx = ox - scx
+                    my = oy - scy
+                    mz = oz - scz
+                    b = 2.0 * (mx * dx + my * dy + mz * dz)
+                    cq = mx * mx + my * my + mz * mz - r * r
+                    dis = b * b - 4.0 * a * cq
+                    sq = jnp.sqrt(jnp.maximum(dis, 0.0))
+                    t0 = (-b - sq) * inv2a
+                    t1 = (-b + sq) * inv2a
+                    tmn = jnp.minimum(t0, t1)
+                    tmx = jnp.maximum(t0, t1)
+                    hit = ((tmn >= mint) & (tmn <= maxt)) | \
+                          ((tmx >= mint) & (tmx <= maxt))
+                    hit = hit & (dis >= 0.0) & (msk > 0.0) & alive
+                    return jnp.where(hit, 1.0, occ)
 
-                @pl.when(jnp.any(overlap) & (lo_off < hi_off))
-                def _():
-                    nsub = (hi_off - lo_off + GRID_CHUNK - 1) // GRID_CHUNK
-                    gchunk_dma_at(lo_off, 0, 0).start()
+                return body
 
-                    def sub(k, _2):
-                        slot = jax.lax.rem(k, 2)
+            def stream_cell_loop_occ(goff, gb, gtab, make_body_occ):
+                """Streamed-grid cell visit for OCCLUSION: cells whose AABB no
+                still-unoccluded ray's segment overlaps are skipped; visited
+                cells DMA their rows in GRID_CHUNK sub-chunks
+                (double-buffered)."""
 
-                        @pl.when(k + 1 < nsub)
-                        def _():
-                            gchunk_dma_at(lo_off, k + 1, 1 - slot).start()
+                def gchunk_dma_at(lo_off, k, slot):
+                    return pltpu.make_async_copy(
+                        gtab.at[pl.ds(lo_off + k * GRID_CHUNK,
+                                      GRID_CHUNK), :],
+                        smem_gchunk.at[slot], gdma_sem.at[slot])
 
-                        gchunk_dma_at(lo_off, k, slot).wait()
-                        cnt = jnp.minimum(jnp.int32(GRID_CHUNK),
-                                          hi_off - k * GRID_CHUNK
-                                          - lo_off)
-                        body_occ = make_body_occ(_SlotView(smem_gchunk,
-                                                           slot))
-                        s_bt[:] = jax.lax.fori_loop(0, cnt, body_occ,
-                                                    s_bt[:])
-                        return 0
-
-                    jax.lax.fori_loop(0, nsub, sub, 0)
-                return 0
-
-            return cell_loop
-
-        occ = jnp.zeros(shape)
-        if n_sph and sph_grid_n:
-            s_bt[:] = occ
-            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-            sgoff, sgpar, sgb, sgtab = sph_grid_args
-            cell_loop = stream_cell_loop_occ(sgoff, sgb, sgtab,
-                                             make_sph_occ_body)
-            gnear, gfar = _slab6(
-                sgpar[0], sgpar[1], sgpar[2],
-                sgpar[0] + float(sph_grid_n[0]) * sgpar[3],
-                sgpar[1] + float(sph_grid_n[1]) * sgpar[4],
-                sgpar[2] + float(sph_grid_n[2]) * sgpar[5],
-                ox, oy, oz, invdx, invdy, invdz)
-            ghit = (jnp.maximum(gnear, mint) <= jnp.minimum(gfar, maxt)) \
-                & alive
-
-            @pl.when(jnp.any(ghit))
-            def _():
-                _loop_cells(sph_grid_n, cell_loop)
-
-            occ = s_bt[:]
-        if n_sph and not stream_sph and not sph_grid_n:
-            occ = _loop_objects(n_sph, sph_body, occ)
-        if n_sph and stream_sph:
-            s_bt[:] = occ
-            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-            sph_occ_smem = make_sph_occ_body(smem_sph)
-
-            def sph_chunk_loop(ci, _):
-                free = s_bt[:] == 0.0
-                overlap = chunk_overlap(schk, ci, ox, oy, oz,
-                                        invdx, invdy, invdz, mint, maxt)
-                overlap = overlap & alive & free
-
-                @pl.when(jnp.any(overlap))
-                def _():
-                    fetch_sph_chunk(ci)
-                    s_bt[:] = jax.lax.fori_loop(0, STREAM_CHUNK,
-                                                sph_occ_smem, s_bt[:])
-                return 0
-
-            jax.lax.fori_loop(0, n_sph_chunks, sph_chunk_loop, 0)
-            occ = s_bt[:]
-        if n_tri and not stream_tri and not grid_tri:
-            occ = _loop_objects(n_tri, tri_body, occ)
-        if n_tri and stream_tri:
-            s_bt[:] = occ
-            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-            tri_body_smem = make_tri_occ_body(smem_chunk)
-
-            def chunk_loop(ci, _):
-                free = s_bt[:] == 0.0      # not yet occluded
-                overlap = chunk_overlap(chk, ci, ox, oy, oz,
-                                        invdx, invdy, invdz, mint, maxt)
-                overlap = overlap & alive & free
-
-                @pl.when(jnp.any(overlap))
-                def _():
-                    fetch_chunk(ci)
-                    s_bt[:] = jax.lax.fori_loop(0, STREAM_CHUNK,
-                                                tri_body_smem, s_bt[:])
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
-            occ = s_bt[:]
-        if grid_tri:
-            # grid any-hit (ref *ShadowTrace code.cl:1073-1321): scene tris
-            # brute, gridded tris per cell (one grid per mesh); cells whose
-            # AABB no still-unoccluded ray's segment overlaps are skipped
-            tri_occ_dyn = make_tri_occ_body(tri)
-            occ = _loop_objects(grid_start, tri_occ_dyn, occ)
-            s_bt[:] = occ
-            invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-
-            def resident_cell_loop_occ(goff, gitems, gb):
                 def cell_loop(ci, _):
                     lo_off = goff[ci]
                     hi_off = goff[ci + 1]
@@ -1095,75 +1047,261 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
 
                     @pl.when(jnp.any(overlap) & (lo_off < hi_off))
                     def _():
-                        s_bt[:] = jax.lax.fori_loop(
-                            lo_off, hi_off,
-                            lambda j, oc: tri_occ_dyn(gitems[j], oc),
-                            s_bt[:])
+                        nsub = (hi_off - lo_off + GRID_CHUNK - 1) // GRID_CHUNK
+                        gchunk_dma_at(lo_off, 0, 0).start()
+
+                        def sub(k, _2):
+                            slot = jax.lax.rem(k, 2)
+
+                            @pl.when(k + 1 < nsub)
+                            def _():
+                                gchunk_dma_at(lo_off, k + 1, 1 - slot).start()
+
+                            gchunk_dma_at(lo_off, k, slot).wait()
+                            cnt = jnp.minimum(jnp.int32(GRID_CHUNK),
+                                              hi_off - k * GRID_CHUNK
+                                              - lo_off)
+                            body_occ = make_body_occ(_SlotView(smem_gchunk,
+                                                               slot))
+                            s_bt[:] = jax.lax.fori_loop(0, cnt, body_occ,
+                                                        s_bt[:])
+                            return 0
+
+                        jax.lax.fori_loop(0, nsub, sub, 0)
                     return 0
 
                 return cell_loop
 
-            for gi, gn in enumerate(tri_grids):
-                if grid_streamed:
-                    goff_g, gpar_g, gb_g, gtab_g = tri_grid_args[gi]
-                    cell_loop = stream_cell_loop_occ(
-                        goff_g, gb_g, gtab_g, make_tri_occ_body)
-                else:
-                    goff_g, gitems_g, gpar_g, gb_g = tri_grid_args[gi]
-                    cell_loop = resident_cell_loop_occ(goff_g, gitems_g,
-                                                       gb_g)
+            def occ_done(ci):
+                # occlusion EARLY EXIT: once every live shadow ray is
+                # occluded, remaining cells/chunks change nothing (the
+                # tile form of the reference shadow DDA's first-hit
+                # break, code.cl:1159/1286)
+                return jnp.logical_not(jnp.any(alive & (s_bt[:] == 0.0)))
+
+            occ = jnp.zeros(shape)
+            if n_sph and sph_grid_n:
+                s_bt[:] = occ
+                invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+                sgoff, sgpar, sgb, sgtab, _sgd = sph_grid_args
+                cell_loop = stream_cell_loop_occ(sgoff, sgb, sgtab,
+                                                 make_sph_occ_body)
                 gnear, gfar = _slab6(
-                    gpar_g[0], gpar_g[1], gpar_g[2],
-                    gpar_g[0] + float(gn[0]) * gpar_g[3],
-                    gpar_g[1] + float(gn[1]) * gpar_g[4],
-                    gpar_g[2] + float(gn[2]) * gpar_g[5],
+                    sgpar[0], sgpar[1], sgpar[2],
+                    sgpar[0] + float(sph_grid_n[0]) * sgpar[3],
+                    sgpar[1] + float(sph_grid_n[1]) * sgpar[4],
+                    sgpar[2] + float(sph_grid_n[2]) * sgpar[5],
                     ox, oy, oz, invdx, invdy, invdz)
-                ghit = (jnp.maximum(gnear, mint)
-                        <= jnp.minimum(gfar, maxt)) & alive \
-                    & (s_bt[:] == 0.0)
+                ghit = (jnp.maximum(gnear, mint) <= jnp.minimum(gfar, maxt)) \
+                    & alive
 
                 @pl.when(jnp.any(ghit))
-                def _(cell_loop=cell_loop, gn=gn):
-                    _loop_cells(gn, cell_loop)
+                def _():
+                    _loop_early(sph_grid_n[0] * sph_grid_n[1]
+                                * sph_grid_n[2], cell_loop, occ_done)
 
-            occ = s_bt[:]
-        return occ > 0.0
+                occ = s_bt[:]
+            if n_sph and not stream_sph and not sph_grid_n:
+                occ = _loop_objects(n_sph, sph_body, occ)
+            if n_sph and stream_sph:
+                s_bt[:] = occ
+                invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+                sph_occ_smem = make_sph_occ_body(smem_sph)
 
-    def albedo_of(mf):
-        """materials[mat_id].rgb, zeros for mat_id < 0
-        (ops/closest_hit.py palette_lookup semantics)."""
-        ar = jnp.zeros(shape)
-        ag = jnp.zeros(shape)
-        ab = jnp.zeros(shape)
-        for m in range(n_mat):
-            sel = mf == float(m)
-            ar = jnp.where(sel, mat[m, 0], ar)
-            ag = jnp.where(sel, mat[m, 1], ag)
-            ab = jnp.where(sel, mat[m, 2], ab)
-        return ar, ag, ab
+                def sph_chunk_loop(ci, _):
+                    free = s_bt[:] == 0.0
+                    overlap = chunk_overlap(schk, ci, ox, oy, oz,
+                                            invdx, invdy, invdz, mint, maxt)
+                    overlap = overlap & alive & free
 
-    # ---- per-pass state -------------------------------------------------
-    accr = acc_in[0][:]
-    accg = acc_in[1][:]
-    accb = acc_in[2][:]
-    tpr = jnp.ones(shape)
-    tpg = jnp.ones(shape)
-    tpb = jnp.ones(shape)
+                    @pl.when(jnp.any(overlap))
+                    def _():
+                        fetch_sph_chunk(ci)
+                        s_bt[:] = jax.lax.fori_loop(0, STREAM_CHUNK,
+                                                    sph_occ_smem, s_bt[:])
+                    return 0
 
-    maxt, hit = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
-    hpx, hpy, hpz, hnx, hny, hnz, matf = hit
+                _loop_early(n_sph_chunks, sph_chunk_loop, occ_done)
+                occ = s_bt[:]
+            if n_tri and not stream_tri and not grid_tri:
+                occ = _loop_objects(n_tri, tri_body, occ)
+            if n_tri and stream_tri:
+                s_bt[:] = occ
+                invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+                tri_body_smem = make_tri_occ_body(smem_chunk)
 
-    if mode == "direct":
-        # Assign08 shade: ambient + clamped cosine toward a sampled light
-        # point when unoccluded, times albedo (ref Assign08 code.cl:916-939;
-        # render/direct.py). No emitter pass, no throughput, no bounces.
-        ambient = P("ambient")
-        valid = matf >= 0.0
+                def chunk_loop(ci, _):
+                    free = s_bt[:] == 0.0      # not yet occluded
+                    overlap = chunk_overlap(chk, ci, ox, oy, oz,
+                                            invdx, invdy, invdz, mint, maxt)
+                    overlap = overlap & alive & free
+
+                    @pl.when(jnp.any(overlap))
+                    def _():
+                        fetch_chunk(ci)
+                        s_bt[:] = jax.lax.fori_loop(0, STREAM_CHUNK,
+                                                    tri_body_smem, s_bt[:])
+                    return 0
+
+                _loop_early(n_chunks, chunk_loop, occ_done)
+                occ = s_bt[:]
+            if grid_tri:
+                # grid any-hit (ref *ShadowTrace code.cl:1073-1321): scene tris
+                # brute, gridded tris per cell (one grid per mesh); cells whose
+                # AABB no still-unoccluded ray's segment overlaps are skipped
+                tri_occ_dyn = make_tri_occ_body(tri)
+                occ = _loop_objects(grid_start, tri_occ_dyn, occ)
+                s_bt[:] = occ
+                invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+                def resident_cell_loop_occ(goff, gitems, gb):
+                    def cell_loop(ci, _):
+                        lo_off = goff[ci]
+                        hi_off = goff[ci + 1]
+                        near, far = _slab6(gb[ci, 0], gb[ci, 1], gb[ci, 2],
+                                           gb[ci, 3], gb[ci, 4], gb[ci, 5],
+                                           ox, oy, oz, invdx, invdy, invdz)
+                        free = s_bt[:] == 0.0
+                        overlap = (jnp.maximum(near, mint)
+                                   <= jnp.minimum(far, maxt)) & alive & free
+
+                        @pl.when(jnp.any(overlap) & (lo_off < hi_off))
+                        def _():
+                            s_bt[:] = jax.lax.fori_loop(
+                                lo_off, hi_off,
+                                lambda j, oc: tri_occ_dyn(gitems[j], oc),
+                                s_bt[:])
+                        return 0
+
+                    return cell_loop
+
+                for gi, gn in enumerate(tri_grids):
+                    if grid_streamed:
+                        (goff_g, gpar_g, gb_g, gtab_g,
+                         _gd) = tri_grid_args[gi]
+                        cell_loop = stream_cell_loop_occ(
+                            goff_g, gb_g, gtab_g, make_tri_occ_body)
+                    else:
+                        (goff_g, gitems_g, gpar_g, gb_g,
+                         _gd) = tri_grid_args[gi]
+                        cell_loop = resident_cell_loop_occ(goff_g, gitems_g,
+                                                           gb_g)
+                    gnear, gfar = _slab6(
+                        gpar_g[0], gpar_g[1], gpar_g[2],
+                        gpar_g[0] + float(gn[0]) * gpar_g[3],
+                        gpar_g[1] + float(gn[1]) * gpar_g[4],
+                        gpar_g[2] + float(gn[2]) * gpar_g[5],
+                        ox, oy, oz, invdx, invdy, invdz)
+                    ghit = (jnp.maximum(gnear, mint)
+                            <= jnp.minimum(gfar, maxt)) & alive \
+                        & (s_bt[:] == 0.0)
+
+                    @pl.when(jnp.any(ghit))
+                    def _(cell_loop=cell_loop, gn=gn):
+                        _loop_early(gn[0] * gn[1] * gn[2], cell_loop,
+                                    occ_done)
+
+                occ = s_bt[:]
+            return occ > 0.0
+
+        def albedo_of(mf):
+            """materials[mat_id].rgb, zeros for mat_id < 0
+            (ops/closest_hit.py palette_lookup semantics)."""
+            ar = jnp.zeros(shape)
+            ag = jnp.zeros(shape)
+            ab = jnp.zeros(shape)
+            for m in range(n_mat):
+                sel = mf == float(m)
+                ar = jnp.where(sel, mat[m, 0], ar)
+                ag = jnp.where(sel, mat[m, 1], ag)
+                ab = jnp.where(sel, mat[m, 2], ab)
+            return ar, ag, ab
+
+        # ---- per-pass state -------------------------------------------------
+        tpr = jnp.ones(shape)
+        tpg = jnp.ones(shape)
+        tpb = jnp.ones(shape)
+
+        maxt, hit = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
+        hpx, hpy, hpz, hnx, hny, hnz, matf = hit
+
+        if mode == "direct":
+            # Assign08 shade: ambient + clamped cosine toward a sampled light
+            # point when unoccluded, times albedo (ref Assign08 code.cl:916-939;
+            # render/direct.py). No emitter pass, no throughput, no bounces.
+            ambient = P("ambient")
+            valid = matf >= 0.0
+            for li in range(n_lig):
+                lpx, lpy, lpz = lig[li, 0], lig[li, 1], lig[li, 2]
+                rad = lig[li, 12]
+                tax, tay, taz = lig[li, 14], lig[li, 15], lig[li, 16]
+                bax, bay, baz = lig[li, 17], lig[li, 18], lig[li, 19]
+                u0, u1 = draws.pair()
+                sx, sy = _concentric(u0, u1)
+                sx = sx * rad
+                sy = sy * rad
+                tgx = lpx + sx * tax + sy * bax
+                tgy = lpy + sx * tay + sy * bay
+                tgz = lpz + sx * taz + sy * baz
+                sox = hpx + eps * hnx
+                soy = hpy + eps * hny
+                soz = hpz + eps * hnz
+                dlx = tgx - sox
+                dly = tgy - soy
+                dlz = tgz - soz
+                d2 = dlx * dlx + dly * dly + dlz * dlz
+                dist = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
+                dist = jnp.where(d2 > 0.0, dist, 0.0)
+                sdx, sdy, sdz = _normalize3(dlx, dly, dlz)
+                smint = jnp.where(valid, 0.0, inf2)
+                smaxt = jnp.where(valid, dist, inf2)
+                occ = anyhit(sox, soy, soz, sdx, sdy, sdz, smint, smaxt)
+                cosx = jnp.clip(sdx * hnx + sdy * hny + sdz * hnz, 0.0, 1.0)
+                shade = jnp.clip(ambient + jnp.where(occ, 0.0, cosx), 0.0, 1.0)
+                ar, ag, ab = albedo_of(matf)
+                accr = accr + jnp.where(valid, ar * shade, 0.0)
+                accg = accg + jnp.where(valid, ag * shade, 0.0)
+                accb = accb + jnp.where(valid, ab * shade, 0.0)
+            return accr, accg, accb
+
+        # ---- lightRender: emitter hits on the PRIMARY segment only
+        #      (ref code.cl:600-629; render/stages.py light_render) ----------
         for li in range(n_lig):
             lpx, lpy, lpz = lig[li, 0], lig[li, 1], lig[li, 2]
+            lnx, lny, lnz = lig[li, 3], lig[li, 4], lig[li, 5]
+            if normalize_emitter:
+                ir, ig, ib = lig[li, 9], lig[li, 10], lig[li, 11]
+            else:
+                ir, ig, ib = lig[li, 6], lig[li, 7], lig[li, 8]
             rad = lig[li, 12]
+            alive = mint != maxt
+            den = dx * lnx + dy * lny + dz * lnz
+            num = (lpx - ox) * lnx + (lpy - oy) * lny + (lpz - oz) * lnz
+            t = num / jnp.where(den == 0.0, 1.0, den)
+            qx = ox + t * dx - lpx
+            qy = oy + t * dy - lpy
+            qz = oz + t * dz - lpz
+            on_disk = qx * qx + qy * qy + qz * qz <= rad * rad
+            t = jnp.where((den != 0.0) & (num != 0.0) & on_disk, t, inf2)
+            hitl = alive & (t < INF) & (t >= mint) & (t < maxt)
+            accr = accr + jnp.where(hitl, ir, 0.0)
+            accg = accg + jnp.where(hitl, ig, 0.0)
+            accb = accb + jnp.where(hitl, ib, 0.0)
+            mint = jnp.where(hitl, inf2, mint)
+            maxt = jnp.where(hitl, inf2, maxt)
+            matf = jnp.where(hitl, -1.0, matf)
+
+        # ---- NEE + bounce schedule -----------------------------------------
+        def nee(li, accr, accg, accb, tpr, tpg, tpb, matf):
+            """initShadowTrace -> occlusion -> sceneRender for one light
+            (ref code.cl:631-673, 1323-1364; render/stages.py nee_shade)."""
+            lpx, lpy, lpz = lig[li, 0], lig[li, 1], lig[li, 2]
+            lnx, lny, lnz = lig[li, 3], lig[li, 4], lig[li, 5]
+            ir, ig, ib = lig[li, 6], lig[li, 7], lig[li, 8]
+            rad, area = lig[li, 12], lig[li, 13]
             tax, tay, taz = lig[li, 14], lig[li, 15], lig[li, 16]
             bax, bay, baz = lig[li, 17], lig[li, 18], lig[li, 19]
+            valid = matf >= 0.0
             u0, u1 = draws.pair()
             sx, sy = _concentric(u0, u1)
             sx = sx * rad
@@ -1184,136 +1322,75 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             smint = jnp.where(valid, 0.0, inf2)
             smaxt = jnp.where(valid, dist, inf2)
             occ = anyhit(sox, soy, soz, sdx, sdy, sdz, smint, smaxt)
+            # geometric term uses distance to the light CENTER (quirk kept,
+            # ref code.cl:1351-1356)
+            r2 = (hpx - lpx) ** 2 + (hpy - lpy) ** 2 + (hpz - lpz) ** 2
             cosx = jnp.clip(sdx * hnx + sdy * hny + sdz * hnz, 0.0, 1.0)
-            shade = jnp.clip(ambient + jnp.where(occ, 0.0, cosx), 0.0, 1.0)
+            cosy = jnp.clip(-(sdx * lnx + sdy * lny + sdz * lnz), 0.0, 1.0)
+            geom = area * cosx * cosy / jnp.maximum(r2, 1e-20)
+            free = valid & ~occ
             ar, ag, ab = albedo_of(matf)
-            accr = accr + jnp.where(valid, ar * shade, 0.0)
-            accg = accg + jnp.where(valid, ag * shade, 0.0)
-            accb = accb + jnp.where(valid, ab * shade, 0.0)
-        acc_out[0][:] = accr
-        acc_out[1][:] = accg
-        acc_out[2][:] = accb
-        return
+            shr = jnp.where(free, geom * ir, 0.0)
+            shg = jnp.where(free, geom * ig, 0.0)
+            shb = jnp.where(free, geom * ib, 0.0)
+            accr = accr + jnp.where(valid, tpr * ar * shr, 0.0)
+            accg = accg + jnp.where(valid, tpg * ag * shg, 0.0)
+            accb = accb + jnp.where(valid, tpb * ab * shb, 0.0)
+            tpr = jnp.where(valid, tpr * ar, tpr)
+            tpg = jnp.where(valid, tpg * ag, tpg)
+            tpb = jnp.where(valid, tpb * ab, tpb)
+            return accr, accg, accb, tpr, tpg, tpb
 
-    # ---- lightRender: emitter hits on the PRIMARY segment only
-    #      (ref code.cl:600-629; render/stages.py light_render) ----------
-    for li in range(n_lig):
-        lpx, lpy, lpz = lig[li, 0], lig[li, 1], lig[li, 2]
-        lnx, lny, lnz = lig[li, 3], lig[li, 4], lig[li, 5]
-        if normalize_emitter:
-            ir, ig, ib = lig[li, 9], lig[li, 10], lig[li, 11]
-        else:
-            ir, ig, ib = lig[li, 6], lig[li, 7], lig[li, 8]
-        rad = lig[li, 12]
-        alive = mint != maxt
-        den = dx * lnx + dy * lny + dz * lnz
-        num = (lpx - ox) * lnx + (lpy - oy) * lny + (lpz - oz) * lnz
-        t = num / jnp.where(den == 0.0, 1.0, den)
-        qx = ox + t * dx - lpx
-        qy = oy + t * dy - lpy
-        qz = oz + t * dz - lpz
-        on_disk = qx * qx + qy * qy + qz * qz <= rad * rad
-        t = jnp.where((den != 0.0) & (num != 0.0) & on_disk, t, inf2)
-        hitl = alive & (t < INF) & (t >= mint) & (t < maxt)
-        accr = accr + jnp.where(hitl, ir, 0.0)
-        accg = accg + jnp.where(hitl, ig, 0.0)
-        accb = accb + jnp.where(hitl, ib, 0.0)
-        mint = jnp.where(hitl, inf2, mint)
-        maxt = jnp.where(hitl, inf2, maxt)
-        matf = jnp.where(hitl, -1.0, matf)
-
-    # ---- NEE + bounce schedule -----------------------------------------
-    def nee(li, accr, accg, accb, tpr, tpg, tpb, matf):
-        """initShadowTrace -> occlusion -> sceneRender for one light
-        (ref code.cl:631-673, 1323-1364; render/stages.py nee_shade)."""
-        lpx, lpy, lpz = lig[li, 0], lig[li, 1], lig[li, 2]
-        lnx, lny, lnz = lig[li, 3], lig[li, 4], lig[li, 5]
-        ir, ig, ib = lig[li, 6], lig[li, 7], lig[li, 8]
-        rad, area = lig[li, 12], lig[li, 13]
-        tax, tay, taz = lig[li, 14], lig[li, 15], lig[li, 16]
-        bax, bay, baz = lig[li, 17], lig[li, 18], lig[li, 19]
-        valid = matf >= 0.0
-        u0, u1 = draws.pair()
-        sx, sy = _concentric(u0, u1)
-        sx = sx * rad
-        sy = sy * rad
-        tgx = lpx + sx * tax + sy * bax
-        tgy = lpy + sx * tay + sy * bay
-        tgz = lpz + sx * taz + sy * baz
-        sox = hpx + eps * hnx
-        soy = hpy + eps * hny
-        soz = hpz + eps * hnz
-        dlx = tgx - sox
-        dly = tgy - soy
-        dlz = tgz - soz
-        d2 = dlx * dlx + dly * dly + dlz * dlz
-        dist = jnp.sqrt(jnp.where(d2 > 0.0, d2, 1.0))
-        dist = jnp.where(d2 > 0.0, dist, 0.0)
-        sdx, sdy, sdz = _normalize3(dlx, dly, dlz)
-        smint = jnp.where(valid, 0.0, inf2)
-        smaxt = jnp.where(valid, dist, inf2)
-        occ = anyhit(sox, soy, soz, sdx, sdy, sdz, smint, smaxt)
-        # geometric term uses distance to the light CENTER (quirk kept,
-        # ref code.cl:1351-1356)
-        r2 = (hpx - lpx) ** 2 + (hpy - lpy) ** 2 + (hpz - lpz) ** 2
-        cosx = jnp.clip(sdx * hnx + sdy * hny + sdz * hnz, 0.0, 1.0)
-        cosy = jnp.clip(-(sdx * lnx + sdy * lny + sdz * lnz), 0.0, 1.0)
-        geom = area * cosx * cosy / jnp.maximum(r2, 1e-20)
-        free = valid & ~occ
-        ar, ag, ab = albedo_of(matf)
-        shr = jnp.where(free, geom * ir, 0.0)
-        shg = jnp.where(free, geom * ig, 0.0)
-        shb = jnp.where(free, geom * ib, 0.0)
-        accr = accr + jnp.where(valid, tpr * ar * shr, 0.0)
-        accg = accg + jnp.where(valid, tpg * ag * shg, 0.0)
-        accb = accb + jnp.where(valid, tpb * ab * shb, 0.0)
-        tpr = jnp.where(valid, tpr * ar, tpr)
-        tpg = jnp.where(valid, tpg * ag, tpg)
-        tpb = jnp.where(valid, tpb * ab, tpb)
-        return accr, accg, accb, tpr, tpg, tpb
-
-    for li in range(n_lig):
-        accr, accg, accb, tpr, tpg, tpb = nee(
-            li, accr, accg, accb, tpr, tpg, tpb, matf)
-
-    for _depth in range(bounces):
-        if russian_roulette:
-            # stages.apply_russian_roulette: survive with p = max throughput
-            # component (clipped), compensate 1/p. Slot consumed every depth
-            # (layout stability); applied only past rr_start_depth.
-            u0, _ = draws.pair()
-            if _depth >= rr_start_depth:
-                p_srv = jnp.clip(jnp.maximum(tpr, jnp.maximum(tpg, tpb)),
-                                 0.05, 1.0)
-                survive = u0 < p_srv
-                inv_p = 1.0 / p_srv
-                tpr = jnp.where(survive, tpr * inv_p, 0.0)
-                tpg = jnp.where(survive, tpg * inv_p, 0.0)
-                tpb = jnp.where(survive, tpb * inv_p, 0.0)
-                matf = jnp.where(survive, matf, -1.0)
-        # bouncePaths (ref code.cl:581-598; render/stages.py bounce_paths)
-        valid = matf >= 0.0
-        snx = jnp.where(valid, hnx, 0.0)
-        sny = jnp.where(valid, hny, 0.0)
-        snz = jnp.where(valid, hnz, 1.0)
-        (tx, ty, tz), (bx, by, bz) = _tangent_frame(snx, sny, snz)
-        u0, u1 = draws.pair()
-        cdx, cdy = _concentric(u0, u1)
-        cz = jnp.sqrt(jnp.maximum(0.0, 1.0 - cdx * cdx - cdy * cdy))
-        dx, dy, dz = _normalize3(cdx * tx + cdy * bx + cz * snx,
-                                 cdx * ty + cdy * by + cz * sny,
-                                 cdx * tz + cdy * bz + cz * snz)
-        ox = hpx + eps * hnx
-        oy = hpy + eps * hny
-        oz = hpz + eps * hnz
-        mint = jnp.where(valid, 0.0, inf2)
-        maxt = inf2
-        maxt, hit = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
-        hpx, hpy, hpz, hnx, hny, hnz, matf = hit
         for li in range(n_lig):
             accr, accg, accb, tpr, tpg, tpb = nee(
                 li, accr, accg, accb, tpr, tpg, tpb, matf)
 
+        for _depth in range(bounces):
+            if russian_roulette:
+                # stages.apply_russian_roulette: survive with p = max throughput
+                # component (clipped), compensate 1/p. Slot consumed every depth
+                # (layout stability); applied only past rr_start_depth.
+                u0, _ = draws.pair()
+                if _depth >= rr_start_depth:
+                    p_srv = jnp.clip(jnp.maximum(tpr, jnp.maximum(tpg, tpb)),
+                                     0.05, 1.0)
+                    survive = u0 < p_srv
+                    inv_p = 1.0 / p_srv
+                    tpr = jnp.where(survive, tpr * inv_p, 0.0)
+                    tpg = jnp.where(survive, tpg * inv_p, 0.0)
+                    tpb = jnp.where(survive, tpb * inv_p, 0.0)
+                    matf = jnp.where(survive, matf, -1.0)
+            # bouncePaths (ref code.cl:581-598; render/stages.py bounce_paths)
+            valid = matf >= 0.0
+            snx = jnp.where(valid, hnx, 0.0)
+            sny = jnp.where(valid, hny, 0.0)
+            snz = jnp.where(valid, hnz, 1.0)
+            (tx, ty, tz), (bx, by, bz) = _tangent_frame(snx, sny, snz)
+            u0, u1 = draws.pair()
+            cdx, cdy = _concentric(u0, u1)
+            cz = jnp.sqrt(jnp.maximum(0.0, 1.0 - cdx * cdx - cdy * cdy))
+            dx, dy, dz = _normalize3(cdx * tx + cdy * bx + cz * snx,
+                                     cdx * ty + cdy * by + cz * sny,
+                                     cdx * tz + cdy * bz + cz * snz)
+            ox = hpx + eps * hnx
+            oy = hpy + eps * hny
+            oz = hpz + eps * hnz
+            mint = jnp.where(valid, 0.0, inf2)
+            maxt = inf2
+            maxt, hit = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
+            hpx, hpy, hpz, hnx, hny, hnz, matf = hit
+            for li in range(n_lig):
+                accr, accg, accb, tpr, tpg, tpb = nee(
+                    li, accr, accg, accb, tpr, tpg, tpb, matf)
+
+        return accr, accg, accb
+
+    acc0 = (acc_in[0][:], acc_in[1][:], acc_in[2][:])
+    if n_kernel_passes == 1:
+        accr, accg, accb = one_pass(0, *acc0)
+    else:
+        accr, accg, accb = jax.lax.fori_loop(
+            0, n_kernel_passes, lambda p, c: one_pass(p, *c), acc0)
     acc_out[0][:] = accr
     acc_out[1][:] = accg
     acc_out[2][:] = accb
@@ -1343,7 +1420,8 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                           chunks: Array | None = None,
                           grid: tuple | None = None,
                           block: int = 0,
-                          sph_chunks: Array | None = None) -> Array:
+                          sph_chunks: Array | None = None,
+                          n_passes: int = 1) -> Array:
     """One progressive pass over ``acc`` (R, 3) -> new (R, 3).
 
     par: (NPAR,) f32 scalars; ipar: (1,) i32 [pass_idx];
@@ -1358,6 +1436,9 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
     """
     R = acc.shape[0]
     assert R < (1 << 24), "megakernel pixel math is exact f32 below 2^24 rays"
+    assert n_passes == 1 or u_planes is None, \
+        "in-kernel multi-pass accumulation needs the on-core PRNG " \
+        "(a u-planes tensor only carries one pass of draws)"
     P = -(-R // TILE) * TILE
     n_tiles = P // TILE
 
@@ -1399,7 +1480,8 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                   block=block,
                   stream_sph=stream_sph,
                   n_sph_chunks=(sph.shape[0] // STREAM_CHUNK
-                                if stream_sph else 0))
+                                if stream_sph else 0),
+                  n_kernel_passes=n_passes)
     if stream_sph:
         assert sph.shape[0] % STREAM_CHUNK == 0, \
             "streaming sphere table must be padded to a chunk multiple"
@@ -1449,30 +1531,33 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
             # (flattened; render/mega.GRID_RESIDENT_MAX governs the total)
             assert tri.size <= 4 * SMEM_TABLE_MAX, \
                 "resident grid-mode triangle table must be SMEM-resident"
-        for (goff, payload, gpar_g, _n, gb_g) in grid["tri"]:
+        for (goff, payload, gpar_g, _n, gb_g, gdist_g) in grid["tri"]:
             if grid_streamed:
                 # STREAMED grids: cell-major duplicated row table in HBM
                 # (the reference's per-cell buffer layout), padded with
                 # >= GRID_CHUNK zero rows so fixed-size DMA never overruns
-                in_specs += [smem, smem, smem, any_spec]
+                in_specs += [smem, smem, smem, any_spec, smem]
                 args += [goff.astype(jnp.int32),
                          gpar_g.astype(jnp.float32),
                          gb_g.astype(jnp.float32).reshape(-1),
-                         payload.astype(jnp.float32)]
+                         payload.astype(jnp.float32),
+                         gdist_g.astype(jnp.float32)]
             else:
                 gitems = payload
                 if gitems.shape[0] == 0:
                     gitems = jnp.zeros((1,), jnp.int32)
-                in_specs += [smem, smem, smem, smem]
+                in_specs += [smem, smem, smem, smem, smem]
                 args += [goff.astype(jnp.int32), gitems.astype(jnp.int32),
                          gpar_g.astype(jnp.float32),
-                         gb_g.astype(jnp.float32).reshape(-1)]
+                         gb_g.astype(jnp.float32).reshape(-1),
+                         gdist_g.astype(jnp.float32)]
     if sph_grid:
-        sgoff, sgtab, sgpar, _sn, sgb = sph_grid
-        in_specs += [smem, smem, smem, any_spec]
+        sgoff, sgtab, sgpar, _sn, sgb, sgdist = sph_grid
+        in_specs += [smem, smem, smem, any_spec, smem]
         args += [sgoff.astype(jnp.int32), sgpar.astype(jnp.float32),
                  sgb.astype(jnp.float32).reshape(-1),
-                 sgtab.astype(jnp.float32)]
+                 sgtab.astype(jnp.float32),
+                 sgdist.astype(jnp.float32)]
     if stream_sph:
         in_specs.append(smem)
         args.append(sph_chunks.astype(jnp.float32).reshape(-1))

@@ -113,7 +113,18 @@ def render_passes(scene: Scene, state: dict, cfg: RenderConfig,
                   n_passes: int) -> dict:
     """Run several progressive passes inside one jit via lax.fori_loop —
     no host round-trip between passes (the reference pays ~15-40 kernel
-    dispatches + a pixel readback per pass; we pay zero)."""
+    dispatches + a pixel readback per pass; we pay zero).
+
+    Megakernel renders on a real accelerator take the IN-KERNEL multi-pass
+    path: the whole K-pass schedule is one kernel launch with the
+    accumulator resident in VMEM across passes (per-pass PRNG reseed; bit-
+    identical to K separate launches) — removes the per-pass accumulator
+    HBM round-trip and dispatch fixed costs."""
+    if cfg.use_megakernel and jax.default_backend() != "cpu":
+        from .mega import render_pass_mega, supported
+        if supported(scene, cfg):
+            return render_pass_mega(scene, state, cfg, n_passes=n_passes)
+
     def body(_, st):
         return _render_pass(scene, st, cfg)
     return jax.lax.fori_loop(0, n_passes, body, state)

@@ -40,10 +40,12 @@ INDEX_HTML = """<!doctype html>
 </style></head><body>
 <h3>raytracing_tpu — progressive path tracer</h3>
 <div class="controls">
+ <label>device <select id="device"></select></label>
  <label>scene <select id="scene"></select></label>
  <label>renderer <select id="renderer">
    <option value="path">path (Assign10)</option>
    <option value="direct">direct (Assign08/09)</option>
+   <option value="fake">fake shade (Assign01/02)</option>
  </select></label>
  <label>&radic;spp <input id="sqspp" type="number" value="1" min="1" max="8"
         style="width:3em"></label>
@@ -51,6 +53,7 @@ INDEX_HTML = """<!doctype html>
         placeholder="scene"></label>
  <label>lens &empty; <input id="lens" type="number" step="0.01"
         style="width:5em" placeholder="scene"></label>
+ <label>orbit <input id="orbit" type="checkbox"></label>
  <button id="start">Start</button>
  <button id="stop">Stop</button>
 </div>
@@ -64,7 +67,7 @@ img.onload = () => { cv.width = img.width; cv.height = img.height;
 async function tick() {
   const st = await (await fetch('/status')).json();
   document.getElementById('status').textContent =
-    `device: ${st.device} | pass ${st.passes}` +
+    `device: ${st.device} | engine: ${st.engine} | pass ${st.passes}` +
     (st.running ? ` | ${st.msegs_per_s.toFixed(1)} M segs/s` : ' | stopped');
   if (st.frame > lastFrame) { lastFrame = st.frame;
                               img.src = '/frame.png?f=' + st.frame; }
@@ -78,13 +81,22 @@ fetch('/scenes').then(r => r.json()).then(names => {
     sel.add(o);
   }
 });
+fetch('/devices').then(r => r.json()).then(devs => {
+  const sel = document.getElementById('device');
+  devs.forEach((d, i) => {
+    const o = document.createElement('option'); o.value = i; o.text = d;
+    sel.add(o);
+  });
+});
 document.getElementById('start').onclick = () => {
   const q = new URLSearchParams({
     scene: document.getElementById('scene').value,
     renderer: document.getElementById('renderer').value,
     sqspp: document.getElementById('sqspp').value,
     focal: document.getElementById('focal').value,
-    lens: document.getElementById('lens').value });
+    lens: document.getElementById('lens').value,
+    device: document.getElementById('device').value,
+    orbit: document.getElementById('orbit').checked ? '1' : '' });
   fetch('/start?' + q);
 };
 document.getElementById('stop').onclick = () => fetch('/stop');
@@ -116,6 +128,9 @@ class RenderSession:
         self._passes = 0
         self._msegs = 0.0
         self._settings = None
+        self._scene_cache: dict = {}
+        self._engine = "?"
+        self._angle = 0.0
 
     # -- rendering ---------------------------------------------------------
 
@@ -127,6 +142,48 @@ class RenderSession:
         from .cli import load_named_scene
         return load_named_scene(name, self.width, self.height)
 
+    def _scene_for(self, name: str):
+        """Load + accel-prepare a scene ONCE per session (the reference
+        loads the scene and bins its grids in preRender, not per frame —
+        code.js:1784-1804). Grids make the megakernel's in-kernel grid /
+        sphere-grid modes available to the live view."""
+        sc = self._scene_cache.get(name)
+        if sc is None:
+            sc = self._load(name)
+            try:
+                from .accel import prepare_grids
+                sc = prepare_grids(sc, "auto", mesh_slabs="auto")
+            except Exception:
+                pass
+            self._scene_cache[name] = sc
+        return sc
+
+    def _block_for(self) -> int:
+        """Largest pixel-block side that tiles the film (<= 96): blocked
+        ray layout keeps tile-level culling frustums compact."""
+        import math
+        g = math.gcd(self.width, self.height)
+        for b in (96, 80, 64, 48, 32):
+            if g % b == 0:
+                return b
+        return 0
+
+    def _cfg(self, scene, spp: int):
+        from . import RenderConfig
+        from .render import mega
+
+        # grids pay past the unroll budget (in-kernel cell culling); tiny
+        # scenes (cornell) are fastest on the brute megakernel
+        gridded = sum(int(g.item_indices.shape[0])
+                      for g in (scene.folded_tri_grid or ()))
+        use_grid = gridded > 64 or scene.mega_sph_grid is not None
+        cfg = RenderConfig(width=self.width, height=self.height, spp=spp,
+                           bounces=self.bounces, use_megakernel=True,
+                           mega_block=self._block_for(),
+                           use_grid=use_grid)
+        self._engine = "megakernel" if mega.supported(scene, cfg) else "xla"
+        return cfg
+
     def _publish(self, img) -> None:
         import numpy as np
 
@@ -137,25 +194,46 @@ class RenderSession:
             self._frame += 1
 
     def step(self, scene="cornell", renderer="path", spp=1,
-             focal=None, lens=None, n_passes=1) -> None:
-        """One synchronous chunk (used by the loop and by tests)."""
+             focal=None, lens=None, n_passes=1, orbit=False) -> None:
+        """One synchronous chunk (used by the loop and by tests). Renders
+        through the PRODUCTION engine: megakernel routing (grids prepared,
+        blocked layout) via the same render-pass entry points the bench
+        uses — the reference's L5 always drove its real kernels
+        progressively (code.js:1861-1870)."""
         import jax.numpy as jnp
 
-        from . import RenderConfig, replace
+        from . import replace
         from .render import pathtracer
 
-        sc = self._load(scene)
+        sc = self._scene_for(scene)
         if focal:
             sc = replace(sc, focal_length=jnp.float32(focal))
         if lens:
             sc = replace(sc, lens_radius=jnp.float32(lens / 2))
-        cfg = RenderConfig(width=self.width, height=self.height, spp=spp,
-                           bounces=self.bounces)
-        key = (scene, renderer, spp, focal, lens)
-        if self._settings != key:       # settings change -> initAcu
-            self._settings = key
+        cfg = self._cfg(sc, spp)
+        if orbit:
+            # ref Assign02 rotate (code.js:55-98): orbit the eye around
+            # the scene; each chunk restarts accumulation (camera moved)
+            self._angle = (self._angle + 3.0 * n_passes) % 360.0
+            cam = sc.camera.orbit(sc.bounds, self._angle)
+            sc = replace(sc, camera=cam)
+        key = (scene, renderer, spp, focal, lens, orbit)
+        changed = self._settings != key
+        if changed or orbit:            # settings change -> initAcu;
+            self._settings = key        # orbit: camera moved every chunk
             self._state = pathtracer.init_state(cfg)
-            self._passes = 0
+            if changed:
+                self._passes = 0
+        if renderer == "fake":
+            # Assign01/02 analog: fake depth shade of the sphere set
+            from .render.simple import render_fake_shade
+            cam = replace(sc.camera, cols=cfg.width, rows=cfg.height)
+            colors = sc.materials[sc.spheres.mat_id][:, :3]
+            img = render_fake_shade(cam, sc.spheres, colors)
+            self._engine = "xla"
+            self._passes += n_passes
+            self._publish(img)
+            return
         if renderer == "direct":
             from .render.direct import render_direct
             img = render_direct(sc, cfg, n_passes=n_passes)
@@ -166,22 +244,33 @@ class RenderSession:
         self._passes = int(self._state["passes"])
         self._publish(pathtracer.image(self._state, cfg))
 
-    def _loop(self, **kw) -> None:
+    def _loop(self, device: int = 0, **kw) -> None:
         import jax
 
         n_lights = 1
         try:
-            n_lights = int(self._load(kw["scene"]).lights.count)
+            n_lights = int(self._scene_for(kw["scene"]).lights.count)
         except Exception:
             pass
-        segs = self.width * self.height * max(kw["spp"], 1) * (
-            1 + n_lights + self.bounces * (1 + n_lights))
-        self._device = f"{jax.devices()[0].platform}"
-        while self._running:
-            t0 = time.time()
-            self.step(n_passes=self.chunk_passes, **kw)
-            dt = max(time.time() - t0, 1e-9)
-            self._msegs = segs * self.chunk_passes / dt / 1e6
+        # ISSUED wavefront segments per pass (what the kernels actually
+        # dispatch): path = primary + per-light shadow at every depth;
+        # direct = primary + per-light shadow; fake = primary only
+        rays = self.width * self.height * max(kw["spp"], 1)
+        if kw.get("renderer") == "direct":
+            segs = rays * (1 + n_lights)
+        elif kw.get("renderer") == "fake":
+            segs = rays
+        else:
+            segs = rays * (1 + n_lights + self.bounces * (1 + n_lights))
+        devs = jax.devices()
+        dev = devs[device] if 0 <= device < len(devs) else devs[0]
+        self._device = f"{dev.platform}:{dev.id}"
+        with jax.default_device(dev):
+            while self._running:
+                t0 = time.time()
+                self.step(n_passes=self.chunk_passes, **kw)
+                dt = max(time.time() - t0, 1e-9)
+                self._msegs = segs * self.chunk_passes / dt / 1e6
 
     # -- controls (ref startRender/stopRender code.js:1872-1894) -----------
 
@@ -201,9 +290,19 @@ class RenderSession:
     def status(self) -> dict:
         import jax
         with self._lock:
+            dev = getattr(self, "_device", None) \
+                or jax.devices()[0].platform
             return {"running": self._running, "passes": self._passes,
                     "frame": self._frame, "msegs_per_s": self._msegs,
-                    "device": jax.devices()[0].platform}
+                    "device": dev, "engine": self._engine}
+
+    @staticmethod
+    def devices() -> list:
+        """Compute-device inventory for the UI select (the reference's
+        findWebCLDevices populating its device <select>, code.js:466-505)."""
+        import jax
+        return [f"[{d.id}] {d.platform}: {d.device_kind}"
+                for d in jax.devices()]
 
     def frame_png(self) -> bytes:
         with self._lock:
@@ -241,6 +340,9 @@ def make_server(session: RenderSession, port: int = 8000,
                     self._send(png, "image/png")
                 else:
                     self._send(b"no frame yet", "text/plain", 404)
+            elif url.path == "/devices":
+                self._send(json.dumps(session.devices()).encode(),
+                           "application/json")
             elif url.path == "/start":
                 sq = max(int(q.get("sqspp") or 1), 1)
                 session.start(
@@ -248,7 +350,9 @@ def make_server(session: RenderSession, port: int = 8000,
                     renderer=q.get("renderer", "path"),
                     spp=sq * sq,        # forced square, ref code.js:516-529
                     focal=float(q["focal"]) if q.get("focal") else None,
-                    lens=float(q["lens"]) if q.get("lens") else None)
+                    lens=float(q["lens"]) if q.get("lens") else None,
+                    device=int(q.get("device") or 0),
+                    orbit=bool(q.get("orbit")))
                 self._send(b"started", "text/plain")
             elif url.path == "/stop":
                 session.stop()

@@ -184,3 +184,125 @@ def test_edge_silhouette_optim_converges():
                                     steps=6, offset=(0.22, -0.12),
                                     lr=4e-2, bandwidth=4e-2)
     assert final_err < 0.7 * start_err, (start_err, final_err)
+
+
+# ---------------------------------------------------------------------------
+# CHUNKED edge-aware backward (round 4): tables past the unroll budget
+# ---------------------------------------------------------------------------
+
+def _big_setup(width, height):
+    """Subdivided cornell (360 tris > UNROLL_OBJECTS): the chunk-local
+    soft compositing path (megakernel_grad.soft_trace chunked branch)."""
+    from test_megakernel_grad import _subdivide_triangles
+    cfg, scene, st, u = _setup(width, height)
+    return cfg, _subdivide_triangles(scene, k=6), st, u
+
+
+def test_edge_chunked_converges_to_hard():
+    """The chunked two-level composite (chunk-local pairwise + cross-chunk
+    merge) must converge to the hard render as bandwidth -> 0, same as the
+    global composite does."""
+    cfg, big, st, u = _big_setup(32, 24)
+    par, sph, tri, mat, lig = scene_tables(big, cfg)
+    assert tri.shape[0] > 64
+    ipar = jnp.array([0, 0], jnp.int32)
+    kw = dict(spp=1, width=cfg.width, bounces=1, two_sided=False,
+              normalize_emitter=True)
+    hard = np.asarray(render_pass_mega(big, st, cfg, u_planes=u,
+                                       interpret=True)["acc"])
+    fracs = []
+    for bw in (1e-2, 1e-3, 1e-4):
+        soft = np.asarray(soft_pass_value(par, ipar, sph, tri, mat, lig, u,
+                                          soft_bandwidth=bw, soft_tau=bw,
+                                          **kw))
+        fracs.append(float((np.abs(soft - hard).max(-1) > 1e-2).mean()))
+    assert fracs[0] > fracs[2]
+    assert fracs[2] < 0.02, fracs
+
+
+def test_edge_chunked_fd_unmasked():
+    """FD-allclose of the CHUNKED soft program (unmasked random-weighted
+    image loss) wrt a sphere center and a triangle vertex — the chunked
+    composite is a well-posed smooth function in its own right, so its AD
+    gradient must match central differences at its top components."""
+    cfg, big, st, u = _big_setup(48, 36)
+    ipar = jnp.array([0, 0], jnp.int32)
+    BW = 5e-2
+    kw = dict(spp=1, width=cfg.width, bounces=1, two_sided=False,
+              normalize_emitter=True, soft_bandwidth=BW, soft_tau=BW)
+    W = jax.random.normal(jax.random.PRNGKey(11),
+                          (cfg.total_rays, 3)) * 0.5 + 1.0
+
+    def L(center, v):
+        sc = dataclasses.replace(
+            big,
+            spheres=dataclasses.replace(big.spheres, center=center),
+            triangles=dataclasses.replace(big.triangles, v=v))
+        p_, s_, t_, m_, l_ = scene_tables(sc, cfg)
+        return jnp.mean(soft_pass_value(p_, ipar, s_, t_, m_, l_, u, **kw)
+                        * W)
+
+    c0, v0 = big.spheres.center, big.triangles.v
+    gc, gv = jax.grad(L, argnums=(0, 1))(c0, v0)
+    gc, gv = np.asarray(gc), np.asarray(gv)
+    assert np.isfinite(gc).all() and np.isfinite(gv).all()
+    assert np.abs(gc).max() > 0 and np.abs(gv).max() > 0
+
+    def fd(f, x0, idx, eps=2e-3):
+        x0 = np.asarray(x0)
+        xp = x0.copy()
+        xp[idx] += eps
+        xm = x0.copy()
+        xm[idx] -= eps
+        return (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) \
+            / (2 * eps)
+
+    rels = []
+    for k in np.argsort(-np.abs(gc).ravel())[:3]:
+        idx = np.unravel_index(k, gc.shape)
+        g_fd = fd(lambda x: L(x, v0), c0, idx)
+        rels.append(abs(gc[idx] - g_fd) / max(abs(g_fd), 1e-12))
+    for k in np.argsort(-np.abs(gv).ravel())[:3]:
+        idx = np.unravel_index(k, gv.shape)
+        g_fd = fd(lambda x: L(c0, x), v0, idx)
+        rels.append(abs(gv[idx] - g_fd) / max(abs(g_fd), 1e-12))
+    assert max(rels[:2] + rels[3:5]) < 0.15, rels
+    assert np.median(rels) < 0.10, rels
+
+
+def test_edge_chunked_production_wiring():
+    """jax.grad through render_pass_mega with cfg.mega_edge_bandwidth on a
+    PAST-THE-UNROLL-BUDGET scene: the production path Morton-sorts the
+    triangle table for the streaming forward, so the soft oracle must be
+    evaluated on the SAME sorted table; sphere-center gradients then match
+    exactly."""
+    from raytracing_tpu.render import mega as MG
+    from raytracing_tpu.render.stages import _all_triangles
+    cfg, big, st, u = _big_setup(16, 12)
+    cfg = dataclasses.replace(cfg, use_megakernel=True,
+                              mega_edge_bandwidth=2e-2)
+    from raytracing_tpu.render.mega import supported_diff
+    assert supported_diff(big, cfg)
+    ipar = jnp.array([0, 0], jnp.int32)
+    kw = dict(spp=1, width=cfg.width, bounces=1, two_sided=False,
+              normalize_emitter=True, soft_bandwidth=2e-2, soft_tau=2e-2)
+    p_, s_, t_, m_, l_ = scene_tables(big, cfg)
+    tri_sorted, _ = MG.tri_chunk_tables(big, t_, _all_triangles(big))
+
+    def loss_prod(center):
+        sc = dataclasses.replace(
+            big, spheres=dataclasses.replace(big.spheres, center=center))
+        out = render_pass_mega(sc, st, cfg, u_planes=u, interpret=True)
+        return jnp.sum(out["acc"])
+
+    def loss_soft(center):
+        sc = dataclasses.replace(
+            big, spheres=dataclasses.replace(big.spheres, center=center))
+        _, s2, _, m2, l2 = scene_tables(sc, cfg)
+        return jnp.sum(soft_pass_value(p_, ipar, s2, tri_sorted, m2, l2,
+                                       u, **kw))
+
+    g_prod = np.asarray(jax.grad(loss_prod)(big.spheres.center))
+    g_soft = np.asarray(jax.grad(loss_soft)(big.spheres.center))
+    np.testing.assert_allclose(g_prod, g_soft, rtol=1e-5, atol=1e-7)
+    assert np.abs(g_prod).max() > 0

@@ -107,12 +107,17 @@ def test_diff_gating():
     assert supported_diff(cornell_box(cols=8, rows=8), cfg)
     # beyond the unroll budget: the chunk-scanned backward covers it now
     assert supported_diff(sphere_field(65, cols=8, rows=8), cfg)
-    assert not supported_diff(None, RenderConfig(width=8, height=8,
-                                                 use_grid=True))
-    # the edge-aware backward stays gated to the unroll budget
+    # grid configs are diff-supported at build time since round 4 (the
+    # scene-level check gates on prepared grids + row budgets)
+    assert supported_diff(None, RenderConfig(width=8, height=8,
+                                             use_grid=True))
+    # the edge-aware backward covers the full diff budget since round 4
+    # (chunk-local soft compositing past the unroll budget)
     cfg_edge = RenderConfig(width=8, height=8, mega_edge_bandwidth=1e-2)
     assert supported_diff(cornell_box(cols=8, rows=8), cfg_edge)
-    assert not supported_diff(sphere_field(65, cols=8, rows=8), cfg_edge)
+    assert supported_diff(sphere_field(65, cols=8, rows=8), cfg_edge)
+    assert not supported_diff(sphere_field(DIFF_TABLE_MAX + 1, cols=8,
+                                           rows=8), cfg_edge)
     assert DIFF_TABLE_MAX > 64
 
 
@@ -262,3 +267,129 @@ def test_bwd_pallas_kernel_matches_reference(bwd_sublanes):
         scale = max(np.abs(a).max(), 1e-8)
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4 * scale,
                                    err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# GRID-mode training (round 4): cell-structured backward
+# ---------------------------------------------------------------------------
+
+def _grads_mesh(scene, cfg, pass_fn):
+    """Gradient probe for mesh scenes: perturbs large-mesh vertices (the
+    reference's flagship differentiable target, cornell_teapot.xml:209-226),
+    sphere centers and materials."""
+    state0 = pathtracer.init_state(cfg)
+    large_i = [i for i, m in enumerate(scene.meshes) if m.tris.count > 64]
+
+    def loss(params):
+        meshes = list(scene.meshes)
+        for i in large_i:
+            m = meshes[i]
+            meshes[i] = dataclasses.replace(
+                m, tris=dataclasses.replace(m.tris, v=params[f"mesh{i}"]))
+        sp = dataclasses.replace(scene.spheres, center=params["center"])
+        sc = dataclasses.replace(scene, meshes=tuple(meshes), spheres=sp,
+                                 materials=params["mat"])
+        st = pass_fn(sc, state0)
+        return jnp.mean(st["acc"] ** 2)
+
+    params = {"mat": scene.materials, "center": scene.spheres.center}
+    params.update({f"mesh{i}": scene.meshes[i].tris.v for i in large_i})
+    return jax.value_and_grad(loss)(params)
+
+
+def _grid_scene(cols, rows, n=3):
+    import os
+
+    from raytracing_tpu.accel import prepare_grids
+    from raytracing_tpu.io.scene_xml import load_scene
+    from raytracing_tpu.models.assignments import REF_ROOT
+    xml = os.path.join(REF_ROOT,
+                       "Assign10-Path_Tracing/scenes/cornell_teapot.xml")
+    if not os.path.exists(xml):
+        pytest.skip("reference cornell_teapot.xml not available")
+    return prepare_grids(load_scene(xml, cols, rows), n, mesh_slabs=n)
+
+
+def _compare_grid(scene, cfg):
+    """Grid-mode megakernel grads vs the XLA pipeline on the same cfg
+    (aggregate gate: mesh scenes at tiny resolutions are silhouette-dense,
+    the BASELINE.md champion-flip noise class)."""
+    state0 = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(state0["key"], state0["passes"], cfg,
+                          scene.lights.count)
+    vx, gx = _grads_mesh(scene, cfg,
+                         lambda sc, st: pathtracer._render_pass(sc, st, cfg))
+    vm, gm = _grads_mesh(scene, cfg,
+                         lambda sc, st: render_pass_mega(sc, st, cfg,
+                                                         u_planes=u,
+                                                         interpret=True))
+    np.testing.assert_allclose(float(vm), float(vx), rtol=1e-3)
+    for k in gx:
+        a, b = np.asarray(gx[k]), np.asarray(gm[k])
+        if a.size == 0:
+            continue
+        assert np.isfinite(b).all(), k
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        cos = (a * b).sum() / max(na * nb, 1e-20)
+        assert cos > 0.99, f"{k}: cosine {cos}"
+        assert 0.8 < nb / max(na, 1e-20) < 1.25, f"{k}: norms {na} {nb}"
+        if np.abs(a).max() > 0:
+            assert np.abs(b).max() > 0, f"{k}: mega grad identically zero"
+
+
+def test_diff_grads_grid_mode_teapot():
+    """GRID-mode training through the megakernel VJP (VERDICT round-3
+    headline): primal = the in-kernel grid pass; backward = the
+    cell-structured diff tables (cell-major duplicated rows, per-chunk
+    cell-clipped AABB culling). Grads must match the XLA grid pipeline
+    with identical draws."""
+    scene = _grid_scene(24, 18)
+    cfg = RenderConfig(width=24, height=18, spp=1, bounces=1,
+                       use_grid=True, use_megakernel=True)
+    assert supported_diff(scene, cfg)
+    _compare_grid(scene, cfg)
+
+
+def test_diff_grads_grid_streamed_matches_resident(monkeypatch):
+    """STREAMED-grid training (house-class assets): the backward diff
+    tables are identical to the resident ones, and the primal is the
+    (tested-equal) streamed pass — grads must equal the resident-mode
+    grads exactly."""
+    from raytracing_tpu.render import mega as MG
+    scene = _grid_scene(16, 12)
+    cfg = RenderConfig(width=16, height=12, spp=1, bounces=0,
+                       use_grid=True, use_megakernel=True)
+    state0 = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(state0["key"], state0["passes"], cfg,
+                          scene.lights.count)
+
+    def run():
+        return _grads_mesh(scene, cfg,
+                           lambda sc, st: render_pass_mega(
+                               sc, st, cfg, u_planes=u, interpret=True))
+
+    v_res, g_res = run()
+    monkeypatch.setattr(MG, "GRID_RESIDENT_MAX", 64)
+    v_str, g_str = run()
+    monkeypatch.undo()
+    np.testing.assert_allclose(float(v_str), float(v_res), rtol=1e-6)
+    for k in g_res:
+        np.testing.assert_allclose(np.asarray(g_str[k]),
+                                   np.asarray(g_res[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_diff_gating_grid():
+    """Grid scenes are now diff-supported when prepared and within the
+    GRID_DIFF_MAX duplicated-row budget; edge mode stays excluded."""
+    from raytracing_tpu.render.mega import GRID_DIFF_MAX
+    cfg = RenderConfig(width=8, height=8, use_grid=True,
+                       use_megakernel=True)
+    # build-time (scene=None) check is optimistic for grid configs now —
+    # the scene-level check still gates on prepared grids and row budgets
+    assert supported_diff(None, cfg)
+    scene = _grid_scene(8, 8)
+    assert supported_diff(scene, cfg)
+    cfg_edge = dataclasses.replace(cfg, mega_edge_bandwidth=1e-2)
+    assert not supported_diff(scene, cfg_edge)
+    assert GRID_DIFF_MAX >= 4096
