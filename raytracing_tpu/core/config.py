@@ -43,6 +43,18 @@ class RenderConfig:
                                        # unneeded transpose work
     mega_bwd_sublanes: int = 32        # backward kernel tile height (must
                                        # divide the forward's 32)
+    mega_bwd_impl: str = "auto"        # which backward the megakernel VJP
+                                       # runs: "pallas" (fused recompute
+                                       # kernel — fastest for unrolled
+                                       # cornell-class tables), "xla" (the
+                                       # dense value-level transpose as one
+                                       # XLA program — fastest past the
+                                       # unroll budget, where the Pallas
+                                       # chunk sweep is VPU/cond-bound),
+                                       # "auto" picks by table size. The
+                                       # xla route replays draws from a
+                                       # threefry u-planes tensor, so the
+                                       # forward consumes the same planes.
     mega_edge_bandwidth: float = 0.0   # > 0: the megakernel VJP's backward
                                        # differentiates the EDGE-AWARE soft
                                        # program (sigmoid silhouette

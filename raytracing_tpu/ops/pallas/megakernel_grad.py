@@ -279,61 +279,139 @@ def _col(rows, j):
     return rows[:, j][:, None, None]
 
 
-def _sph_chunk_trace(carry, rows, cap):
-    """Batched sphere chunk for the CLOSEST-HIT search: all C candidates
-    as (C, S, L) broadcasts + tree champion merge (math identical to the
-    scalar sph_step; same winner by first-index tie-breaking)."""
-    ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, _, _, _ = cap
-    alive = mint != maxt
-    bt, bnx, bny, bnz, bm = carry
-    scx, scy, scz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
-    r, mf, msk = _col(rows, 3), _col(rows, 4), _col(rows, 5)
-    mx = ox - scx
-    my = oy - scy
-    mz = oz - scz
-    b = 2.0 * (mx * dx + my * dy + mz * dz)
-    cq = mx * mx + my * my + mz * mz - r * r
-    dis = b * b - 4.0 * a * cq
-    sq = _safe_sqrt(dis)
-    t0 = (-b - sq) * inv2a
-    t1 = (-b + sq) * inv2a
-    tmn = jnp.minimum(t0, t1)
-    tmx = jnp.maximum(t0, t1)
-    t = jnp.where((tmn >= mint) & (tmn <= maxt), tmn,
-                  jnp.where((tmx >= mint) & (tmx <= maxt), tmx, INF))
-    t = jnp.where((dis >= 0.0) & (msk > 0.0) & alive, t, INF)
-    ts = jnp.where(t < INF, t, 0.0)
-    hnx, hny, hnz = _normalize3(ox + ts * dx - scx,
-                                oy + ts * dy - scy,
-                                oz + ts * dz - scz)
-    tc, (cnx, cny, cnz, cmf) = _tree_champion(t, [hnx, hny, hnz, mf])
-    better = tc < bt
-    return (jnp.where(better, tc, bt),
-            jnp.where(better, cnx, bnx),
-            jnp.where(better, cny, bny),
-            jnp.where(better, cnz, bnz),
-            jnp.where(better, cmf, bm))
+def _sph_mm(rows, cap):
+    """MATMUL-form sphere candidate generation: (c·d, c·o, |c|^2 - r^2)
+    for all C rows as one (3C, 7) @ (7, N) contraction — the MXU form of
+    the quadratic setup (ops/intersect.py sphere matmul trick). Used on
+    the dense XLA backward route, where candidate generation would
+    otherwise be VPU-broadcast-bound."""
+    ox, oy, oz, dx, dy, dz = cap[0:6]
+    shape = dx.shape
+    C = rows.shape[0]
+    feats = jnp.stack([dx, dy, dz, ox, oy, oz,
+                       jnp.ones(shape, rows.dtype)]).reshape(7, -1)
+    c = rows[:, 0:3]
+    r = rows[:, 3:4]
+    Z3 = jnp.zeros((C, 3), rows.dtype)
+    Z1 = jnp.zeros((C, 1), rows.dtype)
+    A = jnp.concatenate([
+        jnp.concatenate([c, Z3, Z1], 1),                       # c·d
+        jnp.concatenate([Z3, c, Z1], 1),                       # c·o
+        jnp.concatenate([Z3, Z3,
+                         (c * c).sum(1, keepdims=True) - r * r], 1),
+    ], 0)
+    E = (A @ feats).reshape(3, C, *shape)
+    return E[0], E[1], E[2]
 
 
-def _make_tri_chunk_trace(two_sided):
+def _make_sph_chunk_trace(mm=False):
+    def sph_chunk(carry, rows, cap):
+        """Batched sphere chunk for the CLOSEST-HIT search: all C
+        candidates as (C, S, L) broadcasts (or the MXU matmul form when
+        ``mm``) + tree champion merge (math identical to the scalar
+        sph_step; same winner by first-index tie-breaking)."""
+        ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, _, _, _ = cap
+        alive = mint != maxt
+        bt, bnx, bny, bnz, bm = carry
+        scx, scy, scz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
+        r, mf, msk = _col(rows, 3), _col(rows, 4), _col(rows, 5)
+        if mm:
+            cd, co, c2r = _sph_mm(rows, cap)
+            od = ox * dx + oy * dy + oz * dz
+            oo = ox * ox + oy * oy + oz * oz
+            b = 2.0 * (od - cd)
+            cq = oo - 2.0 * co + c2r
+        else:
+            mx = ox - scx
+            my = oy - scy
+            mz = oz - scz
+            b = 2.0 * (mx * dx + my * dy + mz * dz)
+            cq = mx * mx + my * my + mz * mz - r * r
+        dis = b * b - 4.0 * a * cq
+        sq = _safe_sqrt(dis)
+        t0 = (-b - sq) * inv2a
+        t1 = (-b + sq) * inv2a
+        tmn = jnp.minimum(t0, t1)
+        tmx = jnp.maximum(t0, t1)
+        t = jnp.where((tmn >= mint) & (tmn <= maxt), tmn,
+                      jnp.where((tmx >= mint) & (tmx <= maxt), tmx, INF))
+        t = jnp.where((dis >= 0.0) & (msk > 0.0) & alive, t, INF)
+        ts = jnp.where(t < INF, t, 0.0)
+        hnx, hny, hnz = _normalize3(ox + ts * dx - scx,
+                                    oy + ts * dy - scy,
+                                    oz + ts * dz - scz)
+        tc, (cnx, cny, cnz, cmf) = _tree_champion(t, [hnx, hny, hnz, mf])
+        better = tc < bt
+        return (jnp.where(better, tc, bt),
+                jnp.where(better, cnx, bnx),
+                jnp.where(better, cny, bny),
+                jnp.where(better, cnz, bnz),
+                jnp.where(better, cmf, bm))
+
+    return sph_chunk
+
+
+_sph_chunk_trace = _make_sph_chunk_trace(False)
+
+
+def _tri_mm(rows, cap):
+    """MATMUL-form triangle candidate generation (div, beta/gamma/t
+    numerators) for all C rows: one (4C, 10) @ (10, N) contraction over
+    ray features [d, o x d, o, 1] — the constant-split Moller-Trumbore is
+    affine in these (ops/intersect.py triangle_ts_matmul; ref
+    interTriangle code.cl:250-288)."""
+    ox, oy, oz, dx, dy, dz = cap[0:6]
+    xx, xy_, xz_ = cap[10], cap[11], cap[12]
+    shape = dx.shape
+    C = rows.shape[0]
+    feats = jnp.stack([dx, dy, dz, xx, xy_, xz_, ox, oy, oz,
+                       jnp.ones(shape, rows.dtype)]).reshape(10, -1)
+    ng = rows[:, 0:3]
+    c1 = rows[:, 3:6]
+    c2 = rows[:, 6:9]
+    e1 = rows[:, 9:12]
+    e2 = rows[:, 12:15]
+    kk = rows[:, 15:16]
+    Z3 = jnp.zeros((C, 3), rows.dtype)
+    Z1 = jnp.zeros((C, 1), rows.dtype)
+    A = jnp.concatenate([
+        jnp.concatenate([ng, Z3, Z3, Z1], 1),        # div  = ng·d
+        jnp.concatenate([-c2, e2, Z3, Z1], 1),       # beta num
+        jnp.concatenate([c1, -e1, Z3, Z1], 1),       # gamma num
+        jnp.concatenate([Z3, Z3, -ng, kk], 1),       # t num = k - ng·o
+    ], 0)
+    E = (A @ feats).reshape(4, C, *shape)
+    return E[0], E[1], E[2], E[3]
+
+
+def _make_tri_chunk_trace(two_sided, mm=False):
     def tri_chunk(carry, rows, cap):
         ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, xx, xy_, xz_ = cap
         alive = mint != maxt
         bt, bnx, bny, bnz, bm = carry
-        ngx, ngy, ngz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
-        c1x, c1y, c1z = _col(rows, 3), _col(rows, 4), _col(rows, 5)
-        c2x, c2y, c2z = _col(rows, 6), _col(rows, 7), _col(rows, 8)
-        e1x, e1y, e1z = _col(rows, 9), _col(rows, 10), _col(rows, 11)
-        e2x, e2y, e2z = _col(rows, 12), _col(rows, 13), _col(rows, 14)
-        kk, mf, msk = _col(rows, 15), _col(rows, 16), _col(rows, 17)
-        div = ngx * dx + ngy * dy + ngz * dz
-        side_ok = (div != 0.0) if two_sided else (div > 0.0)
-        idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
-        beta = (e2x * xx + e2y * xy_ + e2z * xz_
-                - (c2x * dx + c2y * dy + c2z * dz)) * idiv
-        gamma = ((c1x * dx + c1y * dy + c1z * dz)
-                 - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
-        t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+        mf, msk = _col(rows, 16), _col(rows, 17)
+        if mm:
+            div, bnum, gnum, tnum = _tri_mm(rows, cap)
+            side_ok = (div != 0.0) if two_sided else (div > 0.0)
+            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+            beta = bnum * idiv
+            gamma = gnum * idiv
+            t = tnum * idiv
+        else:
+            ngx, ngy, ngz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
+            c1x, c1y, c1z = _col(rows, 3), _col(rows, 4), _col(rows, 5)
+            c2x, c2y, c2z = _col(rows, 6), _col(rows, 7), _col(rows, 8)
+            e1x, e1y, e1z = _col(rows, 9), _col(rows, 10), _col(rows, 11)
+            e2x, e2y, e2z = _col(rows, 12), _col(rows, 13), _col(rows, 14)
+            kk = _col(rows, 15)
+            div = ngx * dx + ngy * dy + ngz * dz
+            side_ok = (div != 0.0) if two_sided else (div > 0.0)
+            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+            beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+            gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+            t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
         okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
             & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
             & (msk > 0.0) & alive
@@ -367,45 +445,68 @@ def _tree_any(hit):
     return hit[0]
 
 
-def _sph_chunk_occ(occ, rows, cap):
-    ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, _, _, _ = cap
-    alive = mint != maxt
-    scx, scy, scz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
-    r, msk = _col(rows, 3), _col(rows, 5)
-    mx = ox - scx
-    my = oy - scy
-    mz = oz - scz
-    b = 2.0 * (mx * dx + my * dy + mz * dz)
-    cq = mx * mx + my * my + mz * mz - r * r
-    dis = b * b - 4.0 * a * cq
-    sq = _safe_sqrt(dis)
-    t0 = (-b - sq) * inv2a
-    t1 = (-b + sq) * inv2a
-    tmn = jnp.minimum(t0, t1)
-    tmx = jnp.maximum(t0, t1)
-    hit = ((tmn >= mint) & (tmn <= maxt)) | ((tmx >= mint) & (tmx <= maxt))
-    hit = hit & (dis >= 0.0) & (msk > 0.0) & alive
-    return jnp.maximum(occ, _tree_any(jnp.where(hit, 1.0, 0.0)))
+def _make_sph_chunk_occ(mm=False):
+    def sph_chunk_occ(occ, rows, cap):
+        ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, _, _, _ = cap
+        alive = mint != maxt
+        r, msk = _col(rows, 3), _col(rows, 5)
+        if mm:
+            cd, co, c2r = _sph_mm(rows, cap)
+            od = ox * dx + oy * dy + oz * dz
+            oo = ox * ox + oy * oy + oz * oz
+            b = 2.0 * (od - cd)
+            cq = oo - 2.0 * co + c2r
+        else:
+            scx, scy, scz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
+            mx = ox - scx
+            my = oy - scy
+            mz = oz - scz
+            b = 2.0 * (mx * dx + my * dy + mz * dz)
+            cq = mx * mx + my * my + mz * mz - r * r
+        dis = b * b - 4.0 * a * cq
+        sq = _safe_sqrt(dis)
+        t0 = (-b - sq) * inv2a
+        t1 = (-b + sq) * inv2a
+        tmn = jnp.minimum(t0, t1)
+        tmx = jnp.maximum(t0, t1)
+        hit = ((tmn >= mint) & (tmn <= maxt)) | \
+              ((tmx >= mint) & (tmx <= maxt))
+        hit = hit & (dis >= 0.0) & (msk > 0.0) & alive
+        return jnp.maximum(occ, _tree_any(jnp.where(hit, 1.0, 0.0)))
+
+    return sph_chunk_occ
 
 
-def _make_tri_chunk_occ(two_sided):
+_sph_chunk_occ = _make_sph_chunk_occ(False)
+
+
+def _make_tri_chunk_occ(two_sided, mm=False):
     def tri_chunk_occ(occ, rows, cap):
         ox, oy, oz, dx, dy, dz, mint, maxt, a, inv2a, xx, xy_, xz_ = cap
         alive = mint != maxt
-        ngx, ngy, ngz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
-        c1x, c1y, c1z = _col(rows, 3), _col(rows, 4), _col(rows, 5)
-        c2x, c2y, c2z = _col(rows, 6), _col(rows, 7), _col(rows, 8)
-        e1x, e1y, e1z = _col(rows, 9), _col(rows, 10), _col(rows, 11)
-        e2x, e2y, e2z = _col(rows, 12), _col(rows, 13), _col(rows, 14)
-        kk, msk = _col(rows, 15), _col(rows, 17)
-        div = ngx * dx + ngy * dy + ngz * dz
-        side_ok = (div != 0.0) if two_sided else (div > 0.0)
-        idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
-        beta = (e2x * xx + e2y * xy_ + e2z * xz_
-                - (c2x * dx + c2y * dy + c2z * dz)) * idiv
-        gamma = ((c1x * dx + c1y * dy + c1z * dz)
-                 - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
-        t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+        msk = _col(rows, 17)
+        if mm:
+            div, bnum, gnum, tnum = _tri_mm(rows, cap)
+            side_ok = (div != 0.0) if two_sided else (div > 0.0)
+            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+            beta = bnum * idiv
+            gamma = gnum * idiv
+            t = tnum * idiv
+        else:
+            ngx, ngy, ngz = _col(rows, 0), _col(rows, 1), _col(rows, 2)
+            c1x, c1y, c1z = _col(rows, 3), _col(rows, 4), _col(rows, 5)
+            c2x, c2y, c2z = _col(rows, 6), _col(rows, 7), _col(rows, 8)
+            e1x, e1y, e1z = _col(rows, 9), _col(rows, 10), _col(rows, 11)
+            e2x, e2y, e2z = _col(rows, 12), _col(rows, 13), _col(rows, 14)
+            kk = _col(rows, 15)
+            div = ngx * dx + ngy * dy + ngz * dz
+            side_ok = (div != 0.0) if two_sided else (div > 0.0)
+            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+            beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+            gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+            t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
         okh = side_ok & (beta >= 0.0) & (beta <= 1.0) & (gamma >= 0.0) \
             & (beta + gamma <= 1.0) & (t >= mint) & (t <= maxt) \
             & (msk > 0.0) & alive
@@ -420,7 +521,8 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
                   two_sided: bool, normalize_emitter: bool,
                   russian_roulette: bool, rr_start_depth: int,
                   mode: str, tri_chunks=None, sph_chunks=None,
-                  block: int = 0, diff_chunk: int = DIFF_CHUNK):
+                  block: int = 0, diff_chunk: int = DIFF_CHUNK,
+                  mm: bool = False):
     """Accumulator DELTA for one ray tile as a pure function of the scene
     tables. Same math, same order as megakernel._render_pass_kernel (which
     cites the reference kernels line-by-line); differences are only
@@ -549,11 +651,12 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         tri_w = (tri_chunks, chunk_overlap_trace) \
             if tri_chunks is not None else None
         c = _loop_diff(sph, n_sph, sph_step, c, windows=sph_w,
-                       captures=caps, chunk_fn=_sph_chunk_trace,
+                       captures=caps,
+                       chunk_fn=_make_sph_chunk_trace(mm),
                        chunk=diff_chunk)
         c = _loop_diff(tri, n_tri, tri_step, c, windows=tri_w,
                        captures=caps,
-                       chunk_fn=_make_tri_chunk_trace(two_sided),
+                       chunk_fn=_make_tri_chunk_trace(two_sided, mm),
                        chunk=diff_chunk)
 
         bt, bnx, bny, bnz, bm = c
@@ -633,11 +736,12 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         tri_w = (tri_chunks, chunk_overlap_occ) \
             if tri_chunks is not None else None
         occ = _loop_diff(sph, n_sph, sph_occ, occ, windows=sph_w,
-                         captures=caps, chunk_fn=_sph_chunk_occ,
+                         captures=caps,
+                         chunk_fn=_make_sph_chunk_occ(mm),
                          chunk=diff_chunk)
         occ = _loop_diff(tri, n_tri, tri_occ, occ, windows=tri_w,
                          captures=caps,
-                         chunk_fn=_make_tri_chunk_occ(two_sided),
+                         chunk_fn=_make_tri_chunk_occ(two_sided, mm),
                          chunk=diff_chunk)
         return occ > 0.0
 
@@ -1564,8 +1668,10 @@ def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
         soft_kw = dict(bandwidth=soft_bandwidth, tau=soft_tau)
         prog = _tile_program_soft
     else:
+        # value-level program: candidate generation in MATMUL form — XLA
+        # maps it to the MXU (the Pallas kernel keeps the broadcast form)
         soft_kw = dict(tri_chunks=tri_chunks, sph_chunks=sph_chunks,
-                       diff_chunk=diff_chunk)
+                       diff_chunk=diff_chunk, mm=True)
         prog = _tile_program
 
     def f(*sel_args):
@@ -1601,7 +1707,7 @@ def _make_diff_op(spp, width, bounces, two_sided, normalize_emitter, seed,
                   interpret, mode, russian_roulette, rr_start_depth, remat,
                   diff_wrt, bwd_sublanes, soft_bandwidth=0.0, soft_tau=0.0,
                   stream_tri=False, stream_sph=False, block=0,
-                  diff_chunk=DIFF_CHUNK, grid_meta=None):
+                  diff_chunk=DIFF_CHUNK, grid_meta=None, bwd_xla=False):
     kw = dict(spp=spp, width=width, bounces=bounces, two_sided=two_sided,
               normalize_emitter=normalize_emitter, seed=seed,
               interpret=interpret, mode=mode,
@@ -1661,13 +1767,21 @@ def _make_diff_op(spp, width, bounces, two_sided, normalize_emitter, seed,
     def bwd(res, g):
         (par, ipar, sph, tri, mat, lig, u_planes, chunks, sphc,
          fwd_pack) = res
-        if interpret:
+        if interpret or bwd_xla:
+            # value-level transpose as ONE XLA program. On an accelerator
+            # (bwd_xla) this is the fast route past the unroll budget: the
+            # dense batched candidate sweep vectorizes across the whole
+            # ray set with XLA's fusion, where the Pallas chunk sweep is
+            # VPU- and cond-overhead-bound (measured v5e teapot 512^2:
+            # ~3x the Pallas chunk backward). Windowless — at whole-array
+            # granularity every chunk cond would be taken anyway.
             bkw = dict(kw)
             bkw.pop("interpret")
+            win = bwd_chunks(None, None) if bwd_xla \
+                else bwd_chunks(chunks, sphc)
             dpar, dsph, dtri, dmat, dlig = _bwd_reference(
                 par, ipar, sph, tri, mat, lig, g, u_planes,
-                diff_wrt=diff_wrt, **bkw, **soft,
-                **bwd_chunks(chunks, sphc))
+                diff_wrt=diff_wrt, **bkw, **soft, **win)
         else:
             dpar, dsph, dtri, dmat, dlig = _bwd_pallas(
                 par, ipar, sph, tri, mat, lig, g, u_planes,
@@ -1701,7 +1815,7 @@ def pathtrace_pass_diff(par, ipar, sph, tri, mat, lig, acc, u_planes, *,
                         soft_bandwidth=0.0, soft_tau=0.0,
                         chunks=None, sph_chunks=None, block=0,
                         grid=None, fwd_tri=None, fwd_sph=None,
-                        diff_chunk=DIFF_CHUNK):
+                        diff_chunk=DIFF_CHUNK, bwd_xla=False):
     """Differentiable megakernel pass: primal = the fused forward kernel;
     backward = the fused recompute-VJP kernel above. Unrolled-table scenes
     only (see supported_diff in render/mega.py). ``diff_wrt`` restricts
@@ -1746,12 +1860,16 @@ def pathtrace_pass_diff(par, ipar, sph, tri, mat, lig, acc, u_planes, *,
         fwd_pack = (sg(fwd_tri), sg(fwd_sph), tri_arrs, sph_arrs)
         grid_meta = (int(grid["start"]), bool(grid["streamed"]), tri_ns,
                      sph_n)
+    if bwd_xla and not interpret:
+        assert u_planes is not None, \
+            "the XLA backward replays draws from u_planes (no host PRNG)"
     op = _make_diff_op(spp, width, bounces, two_sided, normalize_emitter,
                        seed, interpret, mode, russian_roulette,
                        rr_start_depth, remat, tuple(diff_wrt),
                        bwd_sublanes, float(soft_bandwidth), float(soft_tau),
                        chunks is not None, sph_chunks is not None,
-                       int(block), int(diff_chunk), grid_meta)
+                       int(block), int(diff_chunk), grid_meta,
+                       bool(bwd_xla))
     dummy = jnp.zeros((1, 8), jnp.float32)
     return op(par, ipar, sph, tri, mat, lig, acc, u_planes,
               dummy if chunks is None else chunks,

@@ -572,6 +572,24 @@ def supported_diff(scene: Scene | None, cfg: RenderConfig) -> bool:
             and _all_triangles(scene).count <= limit)
 
 
+def bwd_impl_for(scene: Scene, cfg: RenderConfig) -> str:
+    """Which backward the megakernel VJP runs (cfg.mega_bwd_impl):
+    "pallas" — the fused recompute kernel, fastest for unrolled
+    cornell-class tables (1.2e9 segs/s train); "xla" — the dense
+    value-level transpose as one XLA program, fastest PAST the unroll
+    budget where the Pallas chunk sweep is VPU/cond-overhead-bound
+    (measured v5e teapot 512^2 grid train: ~3x the chunk backward).
+    "auto" picks by table size; grid mode always counts as big."""
+    if cfg.mega_bwd_impl != "auto":
+        return cfg.mega_bwd_impl
+    if cfg.use_grid:
+        return "xla"
+    from ..render.stages import _all_triangles
+    big = (scene.spheres.count > MK.UNROLL_OBJECTS
+           or _all_triangles(scene).count > MK.UNROLL_OBJECTS)
+    return "xla" if big else "pallas"
+
+
 def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
                      u_planes: Array | None = None,
                      interpret: bool | None = None,
@@ -591,10 +609,15 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
         interpret = jax.default_backend() == "cpu"
     assert n_passes == 1 or (u_planes is None and not interpret), \
         "in-kernel multi-pass needs the on-core PRNG (TPU, no u_planes)"
-    if interpret and u_planes is None:
+    bwd_xla = (n_passes == 1 and supported_diff(scene, cfg)
+               and bwd_impl_for(scene, cfg) == "xla")
+    if (interpret or bwd_xla) and u_planes is None:
         # interpret mode cannot lower the on-core PRNG (pltpu.prng_seed has
         # no CPU rule); draw the pass-wide threefry tensor instead — this is
         # also what makes CPU output bit-identical to the XLA pipeline.
+        # The XLA backward route needs the same tensor on accelerators (it
+        # replays draws at the value level; no host analog of the on-core
+        # PRNG exists).
         # Sharded: draw the GLOBAL tensor (key/passes are replicated, so all
         # shards agree) and slice this shard's rays.
         u_planes = u_planes_for_pass(state["key"], state["passes"], cfg,
@@ -669,6 +692,7 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
                                   soft_bandwidth=cfg.mega_edge_bandwidth,
                                   soft_tau=tau, chunks=chunks,
                                   sph_chunks=sphc, block=blk,
+                                  bwd_xla=bwd_xla and not interpret,
                                   **grid_diff_kw, **kw)
         if blk:
             acc = acc[r2s]
