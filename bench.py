@@ -197,12 +197,15 @@ def _config_bench(jax, config: int, width: int, height: int) -> None:
         # mode of the megakernel; steady-state progressive accumulation
         # like config 2 (all passes in one jit call)
         ref_root = os.environ.get("RT_REFERENCE_DIR", "/root/reference")
-        ms = os.environ.get("BENCH_MESH_SLABS", "xml")
+        # default = measured cost model ("auto"); BENCH_MESH_SLABS=xml is
+        # the reference-parity flag (teapot 10^3 etc.) — both are recorded
+        # per round in BASELINE.md so fidelity-vs-speed stays visible
+        ms = os.environ.get("BENCH_MESH_SLABS", "auto")
         render, args, cfg = A.assign07(
             width, height, n_slabs=int(os.environ.get("BENCH_NSLABS", "3")),
             scene_xml=os.path.join(ref_root, "Assign10-Path_Tracing/scenes/"
                                              "cornell_teapot.xml"),
-            mesh_slabs=ms if ms == "xml" else int(ms))
+            mesh_slabs=ms if ms in ("auto", "xml") else int(ms))
         kw["n_passes"] = int(os.environ.get("BENCH_PASSES", "16"))
         name, work = "mesh_grid_dda", None
     elif config == 4:

@@ -928,7 +928,7 @@ def _tile_program_soft(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
                        two_sided: bool, normalize_emitter: bool,
                        russian_roulette: bool, rr_start_depth: int,
                        mode: str, bandwidth: float, tau: float,
-                       block: int = 0):
+                       block: int = 0, vec: bool = False):
     """Edge-aware accumulator delta for one ray tile: the Assign10
     schedule with every visibility decision SMOOTHED (diff/soft.py
     semantics, restructured to the kernel's value-based tables and draw
@@ -1052,6 +1052,124 @@ def _tile_program_soft(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         nz = al * tri[i, 20] + be * tri[i, 23] + ga * tri[i, 26]
         nx, ny, nz = _normalize3(nx, ny, nz)
         return (px, py, pz), (nx, ny, nz)
+
+    # -- vectorized (value-level) row-chunk forms ---------------------------
+    # Same math as the scalar helpers above with the chunk's rows STACKED on
+    # a leading axis, so a chunk is O(1) jaxpr primitives instead of O(C)
+    # (and the pairwise composite O(1) instead of O(C^2) via lax.scan).
+    # Only the value-level route sets ``vec`` — XLA compile time of the
+    # chunked soft backward was exploding past the unroll budget (round 4);
+    # inside the Pallas kernel tables are SMEM refs read scalar-wise and the
+    # unrolled form stands.
+    def _rows(tab, lo, hi, k):
+        return tab[lo:hi, k].reshape((hi - lo,) + (1,) * len(shape))
+
+    def sphere_hyp_vec(sph, lo, hi, ox, oy, oz, dx, dy, dz, mint):
+        scx, scy, scz = _rows(sph, lo, hi, 0), _rows(sph, lo, hi, 1), \
+            _rows(sph, lo, hi, 2)
+        r, mf, msk = _rows(sph, lo, hi, 3), _rows(sph, lo, hi, 4), \
+            _rows(sph, lo, hi, 5)
+        mx = ox - scx
+        my = oy - scy
+        mz = oz - scz
+        b = mx * dx + my * dy + mz * dz
+        cq = mx * mx + my * my + mz * mz - r * r
+        dis = b * b - cq
+        alpha = jax.nn.sigmoid(dis / bw) * jnp.where(msk > 0.0, 1.0, 0.0)
+        t = -b - _safe_sqrt(dis)
+        alpha = alpha * jax.nn.sigmoid((t - mint) / bw)
+        return alpha, t, mf
+
+    def sphere_geo_vec(sph, lo, hi, t, ox, oy, oz, dx, dy, dz):
+        scx, scy, scz = _rows(sph, lo, hi, 0), _rows(sph, lo, hi, 1), \
+            _rows(sph, lo, hi, 2)
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        nx, ny, nz = _normalize3(px - scx, py - scy, pz - scz)
+        return (px, py, pz), (nx, ny, nz)
+
+    def tri_hyp_vec(tri, lo, hi, ox, oy, oz, dx, dy, dz, mint,
+                    xx, xy_, xz_):
+        C = lambda k: _rows(tri, lo, hi, k)          # noqa: E731
+        ngx, ngy, ngz = C(0), C(1), C(2)
+        c1x, c1y, c1z = C(3), C(4), C(5)
+        c2x, c2y, c2z = C(6), C(7), C(8)
+        e1x, e1y, e1z = C(9), C(10), C(11)
+        e2x, e2y, e2z = C(12), C(13), C(14)
+        kk, mf, msk = C(15), C(16), C(17)
+        div = ngx * dx + ngy * dy + ngz * dz
+        side_ok = (div != 0.0) if two_sided else (div > 0.0)
+        idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+        beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+        gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                 - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+        t_raw = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+        t = jnp.where(side_ok, t_raw, 1e6)
+        margin = jnp.minimum(jnp.minimum(beta, gamma), 1.0 - beta - gamma)
+        alpha = jax.nn.sigmoid(margin / bw) \
+            * jnp.where(msk > 0.0, 1.0, 0.0) * side_ok
+        alpha = alpha * jax.nn.sigmoid((t - mint) / bw)
+        return alpha, t, beta, gamma, mf
+
+    def tri_geo_vec(tri, lo, hi, t, beta, gamma, ox, oy, oz, dx, dy, dz):
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        al = jnp.clip(1.0 - beta - gamma, 0.0, 1.0)
+        be = jnp.clip(beta, 0.0, 1.0)
+        ga = jnp.clip(gamma, 0.0, 1.0)
+        nx = al * _rows(tri, lo, hi, 18) + be * _rows(tri, lo, hi, 21) \
+            + ga * _rows(tri, lo, hi, 24)
+        ny = al * _rows(tri, lo, hi, 19) + be * _rows(tri, lo, hi, 22) \
+            + ga * _rows(tri, lo, hi, 25)
+        nz = al * _rows(tri, lo, hi, 20) + be * _rows(tri, lo, hi, 23) \
+            + ga * _rows(tri, lo, hi, 26)
+        nx, ny, nz = _normalize3(nx, ny, nz)
+        return (px, py, pz), (nx, ny, nz)
+
+    def _composite_vec(alpha, t, fields, first_good):
+        """_composite over a stacked leading hypothesis axis: the pairwise
+        soft depth ranking runs per-hypothesis inside a lax.scan, so the
+        traced graph is constant-size in the hypothesis count."""
+        M = alpha.shape[0]
+
+        def w_body(cov, i):
+            occ = alpha * jax.nn.sigmoid((t[i] - t) / tau)
+            occ = occ.at[i].set(0.0)                 # no self-occlusion
+            w = alpha[i] * jnp.prod(1.0 - occ, axis=0)
+            return cov + w, w
+
+        cov, ws = jax.lax.scan(w_body, zero, jnp.arange(M))
+        cov = jnp.clip(cov, 0.0, 1.0)
+        goodc = cov > first_good
+        icov = 1.0 / jnp.where(goodc, cov, 1.0)
+        wn = jnp.where(goodc, ws * icov, 0.0)
+        blend = [jnp.sum(wn * f, axis=0) for f in fields]
+        return cov, blend
+
+    def _chunk_surface_vec(span, cap):
+        """One chunk's soft-blended surface, fully vectorized over its
+        rows: (cov, t, p, n, albedo) with the chunk-local composite."""
+        (sph, tri, mat, ox, oy, oz, dx, dy, dz, mint,
+         xx, xy_, xz_) = cap
+        lo_s, hi_s, lo_t, hi_t = span
+        if hi_s > lo_s:
+            alpha, t, mf = sphere_hyp_vec(sph, lo_s, hi_s,
+                                          ox, oy, oz, dx, dy, dz, mint)
+            p, n = sphere_geo_vec(sph, lo_s, hi_s, t, ox, oy, oz,
+                                  dx, dy, dz)
+        else:
+            alpha, t, beta, gamma, mf = tri_hyp_vec(
+                tri, lo_t, hi_t, ox, oy, oz, dx, dy, dz, mint,
+                xx, xy_, xz_)
+            p, n = tri_geo_vec(tri, lo_t, hi_t, t, beta, gamma,
+                               ox, oy, oz, dx, dy, dz)
+        ar, ag, ab = mat_rgb(mat, mf)
+        fields = (t, p[0], p[1], p[2], n[0], n[1], n[2], ar, ag, ab)
+        cov_c, blend = _composite_vec(alpha, t, fields, 1e-9)
+        return (cov_c, *blend)
 
     def _composite(alphas, ts, fields, first_good):
         """Soft ALPHA-COMPOSITED blend of hypotheses into one surface.
@@ -1206,6 +1324,18 @@ def _tile_program_soft(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
             return (cov_c, *blend)
 
         cap = (sph, tri, mat, ox, oy, oz, dx, dy, dz, mint, xx, xy_, xz_)
+        if vec:
+            # value-level route: vectorized chunk surfaces + a scan-based
+            # cross-chunk merge — the traced graph stays constant-size per
+            # chunk and per merge regardless of table size
+            surfs = [_make_ck(_chunk_surface_vec, span)(cap)
+                     for span in _chunk_ranges()]
+            alpha_m = jnp.stack([s[0] for s in surfs])
+            t_m = jnp.stack([s[1] for s in surfs])
+            fields_m = tuple(jnp.stack([s[k] for s in surfs])
+                             for k in range(1, 11))
+            cov, blend = _composite_vec(alpha_m, t_m, fields_m, 1e-6)
+            return _finish_surface(cov, blend)
         alphas, ts, fields = [], [], []
         for span in _chunk_ranges():
             out = _make_ck(chunk_fn, span)(cap)
@@ -1243,9 +1373,25 @@ def _tile_program_soft(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
         if n_sph + n_tri <= MK.UNROLL_OBJECTS:
             return vis_span((0, n_sph, 0, n_tri), cap)
 
+        def vis_span_vec(span, cap):
+            # transmittance is a plain product over occluders, so the
+            # vectorized form is EXACT (not an approximation)
+            (sph, tri, ox, oy, oz, dx, dy, dz, dist, xx, xy_, xz_) = cap
+            lo_s, hi_s, lo_t, hi_t = span
+            if hi_s > lo_s:
+                alpha, t, _ = sphere_hyp_vec(sph, lo_s, hi_s,
+                                             ox, oy, oz, dx, dy, dz, zero)
+            else:
+                alpha, t, _, _, _ = tri_hyp_vec(
+                    tri, lo_t, hi_t, ox, oy, oz, dx, dy, dz, zero,
+                    xx, xy_, xz_)
+            inside = alpha * jax.nn.sigmoid((dist - t) / bw)
+            return jnp.prod(1.0 - inside, axis=0)
+
         vis = jnp.ones(shape)
         for span in _chunk_ranges():
-            vis = vis * _make_ck(vis_span, span)(cap)
+            vis = vis * _make_ck(vis_span_vec if vec else vis_span,
+                                 span)(cap)
         return vis
 
     accr = zero
@@ -1665,7 +1811,9 @@ def _bwd_reference(par, ipar, sph, tri, mat, lig, g, u_planes, *,
     sel = [n for n in DIFF_ALL if n in diff_wrt]
 
     if soft_bandwidth > 0.0:
-        soft_kw = dict(bandwidth=soft_bandwidth, tau=soft_tau)
+        # vec: vectorized chunk surfaces past the unroll budget — the
+        # unrolled chunk graph made XLA compile time explode (round 4)
+        soft_kw = dict(bandwidth=soft_bandwidth, tau=soft_tau, vec=True)
         prog = _tile_program_soft
     else:
         # value-level program: candidate generation in MATMUL form — XLA
@@ -1910,6 +2058,6 @@ def soft_pass_value(par, ipar, sph, tri, mat, lig, u_planes, *,
         n_mat=mat.shape[0], n_lig=lig.shape[0],
         two_sided=two_sided, normalize_emitter=normalize_emitter,
         russian_roulette=russian_roulette, rr_start_depth=rr_start_depth,
-        mode=mode, bandwidth=soft_bandwidth, tau=soft_tau)
+        mode=mode, bandwidth=soft_bandwidth, tau=soft_tau, vec=True)
     return jnp.stack([accr.reshape(-1)[:R], accg.reshape(-1)[:R],
                       accb.reshape(-1)[:R]], axis=-1)

@@ -248,26 +248,36 @@ def test_edge_chunked_fd_unmasked():
     assert np.isfinite(gc).all() and np.isfinite(gv).all()
     assert np.abs(gc).max() > 0 and np.abs(gv).max() > 0
 
-    def fd(f, x0, idx, eps=2e-3):
+    def fd_dir(group, x0, d, eps=1e-3):
+        # DIRECTIONAL central difference: per-component FD of this f32
+        # program is unreliable (the loss is jagged at the 1e-6 scale, and
+        # single components have |dL| ~ 2*eps*g_i ~ 1e-5 — measured rels
+        # bounce non-monotonically in eps); a random direction sums the
+        # whole group's gradient mass, so the difference signal is ~|g|
+        # and the check is well-conditioned. eps stays well under the soft
+        # bandwidth (5e-2) to avoid sigmoid-curvature truncation error.
         x0 = np.asarray(x0)
-        xp = x0.copy()
-        xp[idx] += eps
-        xm = x0.copy()
-        xm[idx] -= eps
-        return (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) \
-            / (2 * eps)
+        args = {"center": c0, "v": v0}
+        fp = dict(args)
+        fp[group] = jnp.asarray(x0 + eps * d)
+        fm = dict(args)
+        fm[group] = jnp.asarray(x0 - eps * d)
+        return (float(L(fp["center"], fp["v"]))
+                - float(L(fm["center"], fm["v"]))) / (2 * eps)
 
+    rng_np = np.random.default_rng(7)
     rels = []
-    for k in np.argsort(-np.abs(gc).ravel())[:3]:
-        idx = np.unravel_index(k, gc.shape)
-        g_fd = fd(lambda x: L(x, v0), c0, idx)
-        rels.append(abs(gc[idx] - g_fd) / max(abs(g_fd), 1e-12))
-    for k in np.argsort(-np.abs(gv).ravel())[:3]:
-        idx = np.unravel_index(k, gv.shape)
-        g_fd = fd(lambda x: L(c0, x), v0, idx)
-        rels.append(abs(gv[idx] - g_fd) / max(abs(g_fd), 1e-12))
-    assert max(rels[:2] + rels[3:5]) < 0.15, rels
-    assert np.median(rels) < 0.10, rels
+    for group, g in (("center", gc), ("v", gv)):
+        x0 = c0 if group == "center" else v0
+        for _ in range(4):
+            d = rng_np.standard_normal(g.shape).astype(np.float32)
+            d /= np.linalg.norm(d)
+            ad = float((g * d).sum())
+            g_fd = fd_dir(group, x0, d)
+            rels.append(abs(ad - g_fd) / max(abs(g_fd), 1e-12))
+    assert np.median(rels[:4]) < 0.10, rels    # sphere centers
+    assert np.median(rels[4:]) < 0.10, rels    # triangle vertices
+    assert max(rels) < 0.5, rels
 
 
 def test_edge_chunked_production_wiring():
