@@ -574,20 +574,28 @@ def supported_diff(scene: Scene | None, cfg: RenderConfig) -> bool:
 
 def bwd_impl_for(scene: Scene, cfg: RenderConfig) -> str:
     """Which backward the megakernel VJP runs (cfg.mega_bwd_impl):
-    "pallas" — the fused recompute kernel, fastest for unrolled
-    cornell-class tables (1.2e9 segs/s train); "xla" — the dense
-    value-level transpose as one XLA program, fastest PAST the unroll
-    budget where the Pallas chunk sweep is VPU/cond-overhead-bound
-    (measured v5e teapot 512^2 grid train: ~3x the chunk backward).
-    "auto" picks by table size; grid mode always counts as big."""
+    "pallas" — the fused recompute kernel (candidates stay in VMEM);
+    "xla" — the dense value-level transpose as one XLA program with
+    MXU matmul-form candidates. Measured v5e, teapot 512^2 b5 train
+    (round 4, clean serial runs): pallas 1.85e7 (grid) / 2.12e7
+    (streamed) segs/s vs xla 4.4e6 / 4.8e6 — the dense route
+    materializes its (4C, R) candidate planes through HBM every chunk
+    and is bandwidth-bound, so "auto" routes EVERY table size to the
+    Pallas backward. The xla route stays selectable as the oracle and
+    for hosts without Mosaic support.
+
+    Exception: EDGE mode past the unroll budget routes to "xla" — the
+    vectorized chunked soft program (scan-based compositing, bounded
+    graph); the Pallas kernel's unrolled chunked soft is an opt-in
+    (its Mosaic graph grows O(C^2) per chunk)."""
     if cfg.mega_bwd_impl != "auto":
         return cfg.mega_bwd_impl
-    if cfg.use_grid:
-        return "xla"
-    from ..render.stages import _all_triangles
-    big = (scene.spheres.count > MK.UNROLL_OBJECTS
-           or _all_triangles(scene).count > MK.UNROLL_OBJECTS)
-    return "xla" if big else "pallas"
+    if cfg.mega_edge_bandwidth > 0.0 and scene is not None:
+        from ..render.stages import _all_triangles
+        if (scene.spheres.count > MK.UNROLL_OBJECTS
+                or _all_triangles(scene).count > MK.UNROLL_OBJECTS):
+            return "xla"
+    return "pallas"
 
 
 def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,

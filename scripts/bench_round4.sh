@@ -15,12 +15,6 @@ run() {
   fi
 }
 
-# the headline task: teapot grid-mode train through the megakernel VJP
-run teapot_grid_train BENCH_SCENE=teapot BENCH_MODE=train BENCH_WIDTH=512 \
-    BENCH_HEIGHT=512 BENCH_GRID=1
-# house trains at all through the streamed-grid backward
-run house_grid_train BENCH_SCENE=house BENCH_MODE=train BENCH_WIDTH=512 \
-    BENCH_HEIGHT=512 BENCH_GRID=1
 # multipass configs
 run config2 BENCH_CONFIG=2
 run config4 BENCH_CONFIG=4
@@ -35,9 +29,13 @@ run molecule_grid_direct BENCH_SCENE=spheres BENCH_NSPHERES=9018 \
 # headline + train re-confirmation
 run config5_headline BENCH_CONFIG=5
 run cornell_train BENCH_MODE=train
-# edge-aware train (cornell; then teapot through the chunked soft backward)
+# edge-aware train (cornell through the Pallas soft backward)
 run edge_train_512 BENCH_MODE=train BENCH_EDGE=1 BENCH_WIDTH=512 \
     BENCH_HEIGHT=512
+# teapot edge train: vectorized chunked soft backward (value route)
 run teapot_edge_train BENCH_SCENE=teapot BENCH_MODE=train BENCH_EDGE=1 \
-    BENCH_WIDTH=512 BENCH_HEIGHT=512 BENCH_GRID=1
+    BENCH_WIDTH=512 BENCH_HEIGHT=512
+# house grid-mode train through the Pallas chunk backward (long compile)
+run house_grid_train BENCH_SCENE=house BENCH_MODE=train BENCH_WIDTH=512 \
+    BENCH_HEIGHT=512 BENCH_GRID=1
 echo "### DONE [$(date +%H:%M:%S)]" | tee -a "$OUT"

@@ -14,6 +14,18 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+# XLA's CPU compiler recurses deeply on the big grad graphs (grid-pipeline
+# backward, zoo scenes); against the default 8 MB stack it segfaults
+# (SIGSEGV inside backend_compile_and_load — reproduced, and cured by
+# `ulimit -s unlimited`). The main thread's stack can only grow until it
+# hits a neighboring mmap, so a runtime setrlimit is NOT reliable (the
+# crash moved around between runs). Each test body therefore runs on a
+# worker thread with an explicitly large stack — deterministic, and
+# compiles triggered by the test recurse on that thread.
+import threading
+
+threading.stack_size(256 << 20)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -74,6 +86,13 @@ _SLOW = {
     "test_progressive_step_and_reset",
     # reference scene zoo (loads + renders every Assign10 scene)
     "test_scene_loads_and_renders", "test_multi_light_accumulates_more",
+    # round-4 grid-mode / chunked-edge backward comparisons (minutes each:
+    # value-level grid VJP + XLA pipeline oracle on 2 CPUs)
+    "test_diff_grads_grid_mode_teapot",
+    "test_diff_grads_grid_streamed_matches_resident",
+    "test_edge_chunked_converges_to_hard",
+    "test_edge_chunked_fd_unmasked",
+    "test_edge_chunked_production_wiring",
 }
 
 
@@ -82,3 +101,27 @@ def pytest_collection_modifyitems(config, items):
         base = item.name.split("[")[0]
         if base in _SLOW:
             item.add_marker(pytest.mark.slow)
+
+
+@pytest.hookimpl(tryfirst=True)
+def pytest_pyfunc_call(pyfuncitem):
+    """Run the test body on a big-stack worker thread (see stack_size
+    above). Fixtures and collection stay on the main thread; exceptions
+    re-raise with their original tracebacks."""
+    testfunction = pyfuncitem.obj
+    testargs = {arg: pyfuncitem.funcargs[arg]
+                for arg in pyfuncitem._fixtureinfo.argnames}
+    box = {}
+
+    def run():
+        try:
+            box["ret"] = testfunction(**testargs)
+        except BaseException as e:      # noqa: BLE001 — re-raised below
+            box["exc"] = e
+
+    t = threading.Thread(target=run, name=f"test:{pyfuncitem.name}")
+    t.start()
+    t.join()
+    if "exc" in box:
+        raise box["exc"]
+    return True

@@ -311,14 +311,21 @@ def _grid_scene(cols, rows, n=3):
 
 
 def _compare_grid(scene, cfg):
-    """Grid-mode megakernel grads vs the XLA pipeline on the same cfg
-    (aggregate gate: mesh scenes at tiny resolutions are silhouette-dense,
-    the BASELINE.md champion-flip noise class)."""
+    """Grid-mode megakernel grads vs an INDEPENDENT oracle: the brute XLA
+    stage pipeline (use_megakernel=False, use_grid=False — binned items
+    champion identically to brute force, quirk 9, and the draw layout does
+    not depend on the traversal mode). The original form passed the shared
+    cfg to _render_pass, whose use_megakernel=True routed the 'oracle'
+    through the megakernel itself — oracle == DUT. Aggregate gate: mesh
+    scenes at tiny resolutions are silhouette-dense, the BASELINE.md
+    champion-flip noise class."""
     state0 = pathtracer.init_state(cfg)
     u = u_planes_for_pass(state0["key"], state0["passes"], cfg,
                           scene.lights.count)
+    cfg_x = dataclasses.replace(cfg, use_megakernel=False, use_grid=False)
     vx, gx = _grads_mesh(scene, cfg,
-                         lambda sc, st: pathtracer._render_pass(sc, st, cfg))
+                         lambda sc, st: pathtracer._render_pass(sc, st,
+                                                                cfg_x))
     vm, gm = _grads_mesh(scene, cfg,
                          lambda sc, st: render_pass_mega(sc, st, cfg,
                                                          u_planes=u,
@@ -343,8 +350,15 @@ def test_diff_grads_grid_mode_teapot():
     cell-structured diff tables (cell-major duplicated rows, per-chunk
     cell-clipped AABB culling). Grads must match the XLA grid pipeline
     with identical draws."""
-    scene = _grid_scene(24, 18)
-    cfg = RenderConfig(width=24, height=18, spp=1, bounces=1,
+    # n=2 per-mesh grid and 16x12: the XLA grid PIPELINE's gradient (the
+    # oracle side) compiles a graph deep enough that XLA's CPU compiler
+    # overflows an 8 MB thread stack at n=3/24x18 (segfault at default
+    # ulimit; conftest raises the soft limit as well) and takes ~9 min on
+    # 2 CPUs. The smaller instance exercises the same code paths: mesh-
+    # instanced XML scene, cell-major diff tables, cell-clipped chunk
+    # culling, mesh-vertex/sphere/material grads.
+    scene = _grid_scene(16, 12, n=2)
+    cfg = RenderConfig(width=16, height=12, spp=1, bounces=1,
                        use_grid=True, use_megakernel=True)
     assert supported_diff(scene, cfg)
     _compare_grid(scene, cfg)
