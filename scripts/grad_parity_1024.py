@@ -89,23 +89,33 @@ def main():
     results = {}
     for name in ["center", "radius", "tv", "mat"]:
         g = np.asarray(grad[name])
-        rels = []
+        ads, fds = [], []
         for _ in range(N_DIRS):
             d = rng.standard_normal(g.shape).astype(np.float32)
             d /= np.linalg.norm(d)
-            ad = float((g * d).sum())
+            ads.append(float((g * d).sum()))
             pp = {k: (jnp.asarray(np.asarray(v) + EPS * d) if k == name
                       else v) for k, v in p0.items()}
             pm = {k: (jnp.asarray(np.asarray(v) - EPS * d) if k == name
                       else v) for k, v in p0.items()}
-            fd = (float(f_soft(pp)) - float(f_soft(pm))) / (2 * EPS)
-            rels.append(abs(ad - fd) / max(abs(fd), 1e-12))
-        results[name] = dict(median_rel=float(np.median(rels)),
-                             max_rel=float(np.max(rels)),
+            fds.append((float(f_soft(pp)) - float(f_soft(pm))) / (2 * EPS))
+        ads = np.asarray(ads)
+        fds = np.asarray(fds)
+        # Single f32 directional differences of a 1M-pixel mean carry
+        # ~1e-6 absolute noise, so per-direction relative error diverges
+        # exactly when |fd| is small (an uninformative direction). The
+        # sound aggregate is the least-squares slope of ad against fd
+        # (weights each direction by its signal) plus their correlation.
+        slope = float((ads * fds).sum() / max((fds * fds).sum(), 1e-24))
+        denom = float(np.linalg.norm(ads) * np.linalg.norm(fds))
+        corr = float((ads * fds).sum() / max(denom, 1e-24))
+        results[name] = dict(slope=slope, corr=corr,
                              grad_norm=float(np.linalg.norm(g)))
-        print(f"  {name}: rels={['%.4f' % r for r in rels]}",
-              file=sys.stderr)
-    ok = all(r["median_rel"] < 0.05 for r in results.values())
+        print(f"  {name}: slope={slope:.4f} corr={corr:.4f} "
+              f"ad={np.round(ads, 6).tolist()} "
+              f"fd={np.round(fds, 6).tolist()}", file=sys.stderr)
+    ok = all(abs(r["slope"] - 1.0) < 0.1 and r["corr"] > 0.98
+             for r in results.values())
     print(json.dumps({"metric": "grad_parity_1024",
                       "resolution": W, "bandwidth": BW,
                       "groups": results, "pass": ok}))
