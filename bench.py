@@ -25,7 +25,9 @@ BENCH_CONFIG=1..5 (the five BASELINE.json configs: 1 fake-shade sphere,
 defaults to 64 for the mesh scenes), BENCH_NSLABS (config 3 grid
 resolution, default 3 per the measured cost model),
 BENCH_NSPHERES (molecule-scale sphere count for BENCH_SCENE=spheres;
-counts beyond the SMEM budget exercise sphere streaming)."""
+counts beyond the SMEM budget exercise sphere streaming),
+BENCH_BWD_IMPL=auto|pallas|cell|xla (which backward the megakernel VJP
+runs in train mode — the backward-route A/B knob)."""
 from __future__ import annotations
 
 import json
@@ -78,6 +80,12 @@ def main() -> None:
                        rr_start_depth=2, mega_grad_wrt=wrt,
                        mega_block=block, mega_edge_bandwidth=edge_bw,
                        use_grid=use_grid,
+                       # BENCH_BWD_IMPL: which backward the megakernel VJP
+                       # runs in train mode (auto | pallas | cell | xla) —
+                       # makes the backward-route A/B reproducible from
+                       # committed code (round-4 VERDICT weak #5)
+                       mega_bwd_impl=os.environ.get("BENCH_BWD_IMPL",
+                                                    "auto"),
                        mega_bwd_sublanes=int(
                            os.environ.get("BENCH_BWD_SUBLANES", "32")))
     if scene_name == "spheres":

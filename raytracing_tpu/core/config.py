@@ -44,15 +44,19 @@ class RenderConfig:
     mega_bwd_sublanes: int = 32        # backward kernel tile height (must
                                        # divide the forward's 32)
     mega_bwd_impl: str = "auto"        # which backward the megakernel VJP
-                                       # runs: "pallas" (fused recompute
-                                       # kernel — fastest for unrolled
-                                       # cornell-class tables), "xla" (the
-                                       # dense value-level transpose as one
-                                       # XLA program — fastest past the
-                                       # unroll budget, where the Pallas
-                                       # chunk sweep is VPU/cond-bound),
-                                       # "auto" picks by table size. The
-                                       # xla route replays draws from a
+                                       # runs: "cell" (champion-recording
+                                       # cell-marching backward — the
+                                       # forward records champion rows +
+                                       # occlusion bits, the backward is
+                                       # gather + shading VJP + scatter,
+                                       # no object sweep), "pallas" (fused
+                                       # recompute kernel — fastest for
+                                       # unrolled cornell-class tables),
+                                       # "xla" (dense value-level sweep
+                                       # transpose — the oracle route).
+                                       # "auto": cell past the unroll
+                                       # budget / grid mode, else pallas.
+                                       # cell/xla replay draws from a
                                        # threefry u-planes tensor, so the
                                        # forward consumes the same planes.
     mega_edge_bandwidth: float = 0.0   # > 0: the megakernel VJP's backward

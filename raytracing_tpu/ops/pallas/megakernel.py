@@ -11,10 +11,14 @@ with every intermediate in vector registers / VMEM. Per pass it reads the
 scene tables (KB) and the accumulator tile and writes the accumulator back:
 ~24 MB of HBM traffic total, compute-bound on the VPU.
 
-Scope: the brute-force geometry path (spheres + folded triangle batch, disk
-area lights) — the production configuration for small/medium scenes. Grid
-(DDA) scenes and the differentiable/training path stay on the XLA pipeline
-(this kernel is forward-only; `jax.grad` through it is not defined).
+Scope: ALL production geometry paths — unrolled brute force (small scenes),
+Morton-chunk streaming with tile-level AABB culling (large tables), and the
+in-kernel uniform-grid mode (resident SMEM CSR or streamed cell-major HBM
+rows, per-mesh nslabs, front-to-back cell order with tile-level early exit).
+Training runs through this kernel too: ops/pallas/megakernel_grad.py wraps
+it in a custom VJP (chunk-culled or cell-structured backward), so
+`jax.grad` through render_pass_mega is defined for every supported_diff
+configuration (render/mega.py gates).
 
 Math is line-for-line the same as the XLA stages (render/stages.py,
 render/camera.py, core/sampling.py), which themselves cite the reference
@@ -280,7 +284,19 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                         stream_sph: bool = False, n_sph_chunks: int = 0,
                         flat_sph: bool = False, flat_tri: bool = False,
                         flat_mat: bool = False, flat_lig: bool = False,
-                        n_kernel_passes: int = 1):
+                        n_kernel_passes: int = 1,
+                        record: bool = False, rec_sph_rows: int = 0,
+                        rec_tri_offs: tuple = ()):
+    # ``record``: CHAMPION RECORDING for the cell-marching backward
+    # (ops/pallas/megakernel_grad.py "cell" route): every closest-hit
+    # champion loop additionally tracks the winner's DIFF-TABLE row id
+    # (spheres in [0, rec_sph_rows), triangles offset by rec_sph_rows —
+    # grid payload rows use the per-grid offsets in rec_tri_offs), and
+    # each trace segment / NEE occlusion result is written to extra
+    # ray-plane outputs. The backward then re-derives the champion
+    # surface analytically from the recorded row instead of re-sweeping
+    # objects — the forward's cell march (this kernel, full speed) is
+    # the only traversal in the whole train step.
     grid_tri = bool(tri_grids)
     # un-flatten SMEM tables (see _FlatTable): fixed packing widths
     if flat_sph:
@@ -330,7 +346,14 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
     u_ref = rest.pop(0) if use_u else None
     acc_in = rest[0:3]
     acc_out = rest[3:6]
-    scratch = rest[6:]
+    if record:
+        n_seg_rec = 1 + (bounces if mode == "path" else 0)
+        n_occ_rec = n_lig * n_seg_rec
+        rec_refs = rest[6:6 + n_seg_rec + n_occ_rec]
+        scratch = rest[6 + n_seg_rec + n_occ_rec:]
+    else:
+        rec_refs = ()
+        scratch = rest[6:]
     if stream_tri:
         smem_chunk = scratch.pop(0)  # SMEM triangle chunk buffer
     if stream_sph:
@@ -345,6 +368,7 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
         dma_sem = scratch.pop(0)
     if stream_tri or stream_sph or grid_tri or sph_grid_n:
         (s_bt, s_bnx, s_bny, s_bnz, s_bm) = scratch[0:5]
+        s_brid = scratch[5] if record else None
 
     shape = (SUBLANES, LANES)
     pid = pl.program_id(0)
@@ -514,9 +538,14 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             zero = jnp.zeros(shape)
             init = (inf2, zero, zero, zero, jnp.full(shape, -1.0),
                     zero, zero, jnp.full(shape, -1.0))
+            if record:
+                init = init + (jnp.full(shape, -1.0),)   # brid (diff row)
 
             def sph_body(i, c):
-                bt, bnx, bny, bnz, bm, bbe, bga, bid = c
+                if record:
+                    bt, bnx, bny, bnz, bm, bbe, bga, bid, brid = c
+                else:
+                    bt, bnx, bny, bnz, bm, bbe, bga, bid = c
                 scx, scy, scz = sph[i, 0], sph[i, 1], sph[i, 2]
                 r, mf, msk = sph[i, 3], sph[i, 4], sph[i, 5]
                 mx = ox - scx
@@ -538,16 +567,23 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 hnx, hny, hnz = _normalize3(ox + ts * dx - scx,
                                             oy + ts * dy - scy,
                                             oz + ts * dz - scz)
-                return (jnp.where(better, t, bt),
-                        jnp.where(better, hnx, bnx),
-                        jnp.where(better, hny, bny),
-                        jnp.where(better, hnz, bnz),
-                        jnp.where(better, mf, bm),
-                        bbe, bga,
-                        jnp.where(better, -1.0, bid))
+                out = (jnp.where(better, t, bt),
+                       jnp.where(better, hnx, bnx),
+                       jnp.where(better, hny, bny),
+                       jnp.where(better, hnz, bnz),
+                       jnp.where(better, mf, bm),
+                       bbe, bga,
+                       jnp.where(better, -1.0, bid))
+                if record:
+                    rid = jnp.asarray(i, jnp.float32)
+                    out = out + (jnp.where(better, rid, brid),)
+                return out
 
             def tri_body(i, c):
-                bt, bnx, bny, bnz, bm, bbe, bga, bid = c
+                if record:
+                    bt, bnx, bny, bnz, bm, bbe, bga, bid, brid = c
+                else:
+                    bt, bnx, bny, bnz, bm, bbe, bga, bid = c
                 ngx, ngy, ngz = tri[i, 0], tri[i, 1], tri[i, 2]
                 c1x, c1y, c1z = tri[i, 3], tri[i, 4], tri[i, 5]
                 c2x, c2y, c2z = tri[i, 6], tri[i, 7], tri[i, 8]
@@ -569,33 +605,49 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                     & (msk > 0.0) & alive
                 t = jnp.where(okh, t, inf2)
                 better = t < bt
+                if record:
+                    rid = jnp.asarray(i, jnp.float32) + float(rec_sph_rows)
                 if defer_interp:
-                    return (jnp.where(better, t, bt), bnx, bny, bnz,
-                            jnp.where(better, mf, bm),
-                            jnp.where(better, beta, bbe),
-                            jnp.where(better, gamma, bga),
-                            jnp.where(better, jnp.asarray(i, jnp.float32), bid))
+                    out = (jnp.where(better, t, bt), bnx, bny, bnz,
+                           jnp.where(better, mf, bm),
+                           jnp.where(better, beta, bbe),
+                           jnp.where(better, gamma, bga),
+                           jnp.where(better, jnp.asarray(i, jnp.float32), bid))
+                    if record:
+                        out = out + (jnp.where(better, rid, brid),)
+                    return out
                 # interpolated vertex normal (ref interp code.cl:405-411)
                 alpha = 1.0 - beta - gamma
                 hnx = alpha * tri[i, 18] + beta * tri[i, 21] + gamma * tri[i, 24]
                 hny = alpha * tri[i, 19] + beta * tri[i, 22] + gamma * tri[i, 25]
                 hnz = alpha * tri[i, 20] + beta * tri[i, 23] + gamma * tri[i, 26]
                 hnx, hny, hnz = _normalize3(hnx, hny, hnz)
-                return (jnp.where(better, t, bt),
-                        jnp.where(better, hnx, bnx),
-                        jnp.where(better, hny, bny),
-                        jnp.where(better, hnz, bnz),
-                        jnp.where(better, mf, bm),
-                        bbe, bga,
-                        jnp.where(better, -1.0, bid))
+                out = (jnp.where(better, t, bt),
+                       jnp.where(better, hnx, bnx),
+                       jnp.where(better, hny, bny),
+                       jnp.where(better, hnz, bnz),
+                       jnp.where(better, mf, bm),
+                       bbe, bga,
+                       jnp.where(better, -1.0, bid))
+                if record:
+                    out = out + (jnp.where(better, rid, brid),)
+                return out
 
-            def make_tri_body5(tab):
+            def make_tri_body5(tab, idx_map=None, rid_of=None):
                 """Inline-interp tri body over a scalar-indexed table ``tab``
                 (the DMA'd SMEM chunk, or the whole SMEM tri table with a
-                DYNAMIC grid-cell item index) with 5-tuple champion carry."""
+                DYNAMIC grid-cell item index) with 5-tuple champion carry.
+                ``idx_map`` maps the loop index to the table row (resident
+                grids: payload position -> item id); ``rid_of`` (record
+                mode) maps the loop index to the DIFF-table row id carried
+                as a 6th champion field."""
 
-                def body(i, c):
-                    bt, bnx, bny, bnz, bm = c
+                def body(j, c):
+                    i = idx_map(j) if idx_map is not None else j
+                    if record:
+                        bt, bnx, bny, bnz, bm, brid = c
+                    else:
+                        bt, bnx, bny, bnz, bm = c
                     ngx, ngy, ngz = tab[i, 0], tab[i, 1], tab[i, 2]
                     c1x, c1y, c1z = tab[i, 3], tab[i, 4], tab[i, 5]
                     c2x, c2y, c2z = tab[i, 6], tab[i, 7], tab[i, 8]
@@ -623,20 +675,27 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                     hnz = alpha * tab[i, 20] + beta * tab[i, 23] \
                         + gamma * tab[i, 26]
                     hnx, hny, hnz = _normalize3(hnx, hny, hnz)
-                    return (jnp.where(better, t, bt),
-                            jnp.where(better, hnx, bnx),
-                            jnp.where(better, hny, bny),
-                            jnp.where(better, hnz, bnz),
-                            jnp.where(better, mf, bm))
+                    out = (jnp.where(better, t, bt),
+                           jnp.where(better, hnx, bnx),
+                           jnp.where(better, hny, bny),
+                           jnp.where(better, hnz, bnz),
+                           jnp.where(better, mf, bm))
+                    if record:
+                        out = out + (jnp.where(better, rid_of(j), brid),)
+                    return out
 
                 return body
 
-            def make_sph_body5(tab):
+            def make_sph_body5(tab, idx_map=None, rid_of=None):
                 """Sphere champion body over a scalar-indexed table with
                 5-tuple carry (streamed SMEM chunk rows)."""
 
-                def body(i, c):
-                    bt, bnx, bny, bnz, bm = c
+                def body(j, c):
+                    i = idx_map(j) if idx_map is not None else j
+                    if record:
+                        bt, bnx, bny, bnz, bm, brid = c
+                    else:
+                        bt, bnx, bny, bnz, bm = c
                     scx, scy, scz = tab[i, 0], tab[i, 1], tab[i, 2]
                     r, mf, msk = tab[i, 3], tab[i, 4], tab[i, 5]
                     mx = ox - scx
@@ -659,15 +718,29 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                     hnx, hny, hnz = _normalize3(ox + ts * dx - scx,
                                                 oy + ts * dy - scy,
                                                 oz + ts * dz - scz)
-                    return (jnp.where(better, t, bt),
-                            jnp.where(better, hnx, bnx),
-                            jnp.where(better, hny, bny),
-                            jnp.where(better, hnz, bnz),
-                            jnp.where(better, mf, bm))
+                    out = (jnp.where(better, t, bt),
+                           jnp.where(better, hnx, bnx),
+                           jnp.where(better, hny, bny),
+                           jnp.where(better, hnz, bnz),
+                           jnp.where(better, mf, bm))
+                    if record:
+                        out = out + (jnp.where(better, rid_of(j), brid),)
+                    return out
 
                 return body
 
-            def stream_cell_loop(goff, gb, gtab, make_body5):
+            def carry_read():
+                c5 = [s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:]]
+                if record:
+                    c5.append(s_brid[:])
+                return tuple(c5)
+
+            def carry_write(c):
+                s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
+                if record:
+                    s_brid[:] = c[5]
+
+            def stream_cell_loop(goff, gb, gtab, make_body5, rid_base=0.0):
                 """Streamed-grid cell visit for the CLOSEST-HIT search: slab
                 test vs the cell AABB against each ray's live [mint,
                 min(maxt, champion)] window; visited cells DMA their
@@ -710,12 +783,16 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                             cnt = jnp.minimum(jnp.int32(GRID_CHUNK),
                                               hi_off - k * GRID_CHUNK
                                               - lo_off)
-                            body5 = make_body5(_SlotView(smem_gchunk, slot))
-                            carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
-                                     s_bm[:])
+                            # record: the diff-table row of sub-chunk slot
+                            # jj is its cell-major table row + table offset
+                            rid_of = (lambda jj:
+                                      (lo_off + k * GRID_CHUNK + jj)
+                                      .astype(jnp.float32) + rid_base)
+                            body5 = make_body5(_SlotView(smem_gchunk, slot),
+                                               rid_of=rid_of)
+                            carry = carry_read()
                             carry = jax.lax.fori_loop(0, cnt, body5, carry)
-                            (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
-                             s_bm[:]) = carry
+                            carry_write(carry)
                             return 0
 
                         jax.lax.fori_loop(0, nsub, sub, 0)
@@ -741,13 +818,25 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                             jnp.any(alive & (hi + eyed >= gd)))
                     return done
 
+            def to_scratch(c):
+                s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
+                if record:
+                    s_brid[:] = c[8]
+
+            def from_scratch(c):
+                out = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
+                       c[5], c[6], c[7])
+                if record:
+                    out = out + (s_brid[:],)
+                return out
+
             c = init
             if n_sph and sph_grid_n:
                 # in-kernel sphere grid: cells visited under the shrinking
                 # champion window — the fix for dense-cloud bounce rays, where
                 # Morton-chunk streaming's per-chunk AABBs all overlap but a
                 # short champion window crosses only a few CELLS
-                s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
+                to_scratch(c)
                 invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
                 sgoff, sgpar, sgb, sgtab, sgdist = sph_grid_args
                 cell_loop = stream_cell_loop(sgoff, sgb, sgtab,
@@ -767,16 +856,14 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                                 * sph_grid_n[2], cell_loop,
                                 mk_hit_done(sgdist))
 
-                c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
-                     c[5], c[6], c[7])
+                c = from_scratch(c)
             if n_sph and not stream_sph and not sph_grid_n:
                 c = _loop_objects(n_sph, sph_body, c)
             if n_sph and stream_sph:
                 # streamed spheres (big molecules): Morton chunks + per-chunk
                 # AABB culling, same scheme as triangle streaming
-                s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
+                to_scratch(c)
                 invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-                sph_body_smem = make_sph_body5(smem_sph)
 
                 def sph_chunk_loop(ci, _):
                     hi = jnp.minimum(maxt, s_bt[:])
@@ -787,24 +874,26 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                     @pl.when(jnp.any(overlap))
                     def _():
                         fetch_sph_chunk(ci)
-                        carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:])
+                        body = make_sph_body5(
+                            smem_sph,
+                            rid_of=lambda j: (ci * STREAM_CHUNK + j)
+                            .astype(jnp.float32))
+                        carry = carry_read()
                         carry = jax.lax.fori_loop(0, STREAM_CHUNK,
-                                                  sph_body_smem, carry)
-                        s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = carry
+                                                  body, carry)
+                        carry_write(carry)
                     return 0
 
                 jax.lax.fori_loop(0, n_sph_chunks, sph_chunk_loop, 0)
-                c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
-                     c[5], c[6], c[7])
+                c = from_scratch(c)
             if n_tri and not stream_tri and not grid_tri:
                 c = _loop_objects(n_tri, tri_body, c)
             if n_tri and stream_tri:
                 # tile-level chunk culling: champion state parks in VMEM
                 # scratch so chunks a tile cannot hit are skipped entirely
                 # (pl.when over the scalar any-reduce)
-                s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c[0:5]
+                to_scratch(c)
                 invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-                tri_body_smem = make_tri_body5(smem_chunk)
 
                 def chunk_loop(ci, _):
                     bt_cur = s_bt[:]
@@ -816,15 +905,18 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                     @pl.when(jnp.any(overlap))
                     def _():
                         fetch_chunk(ci)
-                        carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:])
+                        body = make_tri_body5(
+                            smem_chunk,
+                            rid_of=lambda j: (ci * STREAM_CHUNK + j)
+                            .astype(jnp.float32) + float(rec_sph_rows))
+                        carry = carry_read()
                         carry = jax.lax.fori_loop(0, STREAM_CHUNK,
-                                                  tri_body_smem, carry)
-                        s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = carry
+                                                  body, carry)
+                        carry_write(carry)
                     return 0
 
                 jax.lax.fori_loop(0, n_chunks, chunk_loop, 0)
-                c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
-                     c[5], c[6], c[7])
+                c = from_scratch(c)
             if grid_tri:
                 # uniform-grid closest hit at TILE granularity (the TPU-native
                 # DDA, ref sphereTrace/triangleTrace code.cl:675-935): scene
@@ -843,12 +935,26 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 # depend on it (champion over binned items == brute force;
                 # duplicated hits idempotent, SURVEY §7 quirk 9); shrinking
                 # champion windows still cull back-of-scene cells.
-                tri_body_dyn = make_tri_body5(tri)
-                c5 = _loop_objects(grid_start, tri_body_dyn, c[0:5])
-                s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c5
+                tri_body_pref = make_tri_body5(
+                    tri, rid_of=lambda j: jnp.asarray(j, jnp.float32)
+                    + float(rec_sph_rows))
+                c_pref = c[0:5] + ((c[8],) if record else ())
+                c_pref = _loop_objects(grid_start, tri_body_pref, c_pref)
+                s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:] = c_pref[0:5]
+                if record:
+                    s_brid[:] = c_pref[5]
                 invdx, invdy, invdz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
-                def resident_cell_loop(goff, gitems, gb):
+                def resident_cell_loop(goff, gitems, gb, rid_base):
+                    # record: payload position j maps to diff row
+                    # rid_base + j (cell-major diff table layout,
+                    # render/mega.grid_diff_tables); table reads go
+                    # through the item id gitems[j]
+                    body = make_tri_body5(
+                        tri, idx_map=lambda j: gitems[j],
+                        rid_of=lambda j: jnp.asarray(j, jnp.float32)
+                        + rid_base)
+
                     def cell_loop(ci, _):
                         lo_off = goff[ci]
                         hi_off = goff[ci + 1]
@@ -861,28 +967,28 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
 
                         @pl.when(jnp.any(overlap) & (lo_off < hi_off))
                         def _():
-                            carry = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
-                                     s_bm[:])
-                            carry = jax.lax.fori_loop(
-                                lo_off, hi_off,
-                                lambda j, cc: tri_body_dyn(gitems[j], cc),
-                                carry)
-                            (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:],
-                             s_bm[:]) = carry
+                            carry = carry_read()
+                            carry = jax.lax.fori_loop(lo_off, hi_off, body,
+                                                      carry)
+                            carry_write(carry)
                         return 0
 
                     return cell_loop
 
                 for gi, gn in enumerate(tri_grids):
+                    rid_base = float(rec_sph_rows
+                                     + (rec_tri_offs[gi] if record else 0))
                     if grid_streamed:
                         (goff_g, gpar_g, gb_g, gtab_g,
                          gdist_g) = tri_grid_args[gi]
                         cell_loop = stream_cell_loop(
-                            goff_g, gb_g, gtab_g, make_tri_body5)
+                            goff_g, gb_g, gtab_g, make_tri_body5,
+                            rid_base=rid_base)
                     else:
                         (goff_g, gitems_g, gpar_g, gb_g,
                          gdist_g) = tri_grid_args[gi]
-                        cell_loop = resident_cell_loop(goff_g, gitems_g, gb_g)
+                        cell_loop = resident_cell_loop(goff_g, gitems_g,
+                                                       gb_g, rid_base)
                     gnear, gfar = _slab6(
                         gpar_g[0], gpar_g[1], gpar_g[2],
                         gpar_g[0] + float(gn[0]) * gpar_g[3],
@@ -898,9 +1004,9 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                         _loop_early(gn[0] * gn[1] * gn[2], cell_loop,
                                     mk_hit_done(gdist_g))
 
-                c = (s_bt[:], s_bnx[:], s_bny[:], s_bnz[:], s_bm[:],
-                     c[5], c[6], c[7])
-            bt, bnx, bny, bnz, bm, bbe, bga, bid = c
+                c = from_scratch(c)
+            bt, bnx, bny, bnz, bm, bbe, bga, bid = c[0:8]
+            brid = c[8] if record else None
             if defer_interp and n_tri:
                 # one-hot vn fetch for the champion triangle, then interpolate
                 # once (identical math/order to the inline form)
@@ -928,6 +1034,8 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             hpy = oy + ts * dy
             hpz = oz + ts * dz
             new_maxt = jnp.where(found, bt, maxt)
+            if record:
+                return new_maxt, (hpx, hpy, hpz, bnx, bny, bnz, bm), brid
             return new_maxt, (hpx, hpy, hpz, bnx, bny, bnz, bm)
 
         def anyhit(ox, oy, oz, dx, dy, dz, mint, maxt):
@@ -1222,7 +1330,21 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
         tpg = jnp.ones(shape)
         tpb = jnp.ones(shape)
 
-        maxt, hit = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
+        rec_ctr = [0, 0]    # [trace segment, occlusion slot]
+
+        def rec_trace(rid):
+            rec_refs[rec_ctr[0]][:] = rid
+            rec_ctr[0] += 1
+
+        def rec_occ(occ):
+            rec_refs[n_seg_rec + rec_ctr[1]][:] = jnp.where(occ, 1.0, 0.0)
+            rec_ctr[1] += 1
+
+        if record:
+            maxt, hit, rid = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
+            rec_trace(rid)
+        else:
+            maxt, hit = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
         hpx, hpy, hpz, hnx, hny, hnz, matf = hit
 
         if mode == "direct":
@@ -1256,6 +1378,8 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
                 smint = jnp.where(valid, 0.0, inf2)
                 smaxt = jnp.where(valid, dist, inf2)
                 occ = anyhit(sox, soy, soz, sdx, sdy, sdz, smint, smaxt)
+                if record:
+                    rec_occ(occ)
                 cosx = jnp.clip(sdx * hnx + sdy * hny + sdz * hnz, 0.0, 1.0)
                 shade = jnp.clip(ambient + jnp.where(occ, 0.0, cosx), 0.0, 1.0)
                 ar, ag, ab = albedo_of(matf)
@@ -1322,6 +1446,8 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             smint = jnp.where(valid, 0.0, inf2)
             smaxt = jnp.where(valid, dist, inf2)
             occ = anyhit(sox, soy, soz, sdx, sdy, sdz, smint, smaxt)
+            if record:
+                rec_occ(occ)
             # geometric term uses distance to the light CENTER (quirk kept,
             # ref code.cl:1351-1356)
             r2 = (hpx - lpx) ** 2 + (hpy - lpy) ** 2 + (hpz - lpz) ** 2
@@ -1377,7 +1503,11 @@ def _render_pass_kernel(ipar, par, sph, tri, chk, mat, lig, *rest,
             oz = hpz + eps * hnz
             mint = jnp.where(valid, 0.0, inf2)
             maxt = inf2
-            maxt, hit = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
+            if record:
+                maxt, hit, rid = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
+                rec_trace(rid)
+            else:
+                maxt, hit = trace(ox, oy, oz, dx, dy, dz, mint, maxt)
             hpx, hpy, hpz, hnx, hny, hnz, matf = hit
             for li in range(n_lig):
                 accr, accg, accb, tpr, tpg, tpb = nee(
@@ -1421,8 +1551,18 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                           grid: tuple | None = None,
                           block: int = 0,
                           sph_chunks: Array | None = None,
-                          n_passes: int = 1) -> Array:
+                          n_passes: int = 1,
+                          record: bool = False,
+                          rec_sph_rows: int | None = None,
+                          rec_tri_offs: tuple = ()) -> Array:
     """One progressive pass over ``acc`` (R, 3) -> new (R, 3).
+
+    ``record=True``: champion recording for the cell-marching backward —
+    returns ``(acc, ids, occs)`` where ids (n_seg, R) holds each trace
+    segment's champion DIFF-table row (-1 miss; spheres in
+    [0, rec_sph_rows), triangles offset by rec_sph_rows, grid payload rows
+    by rec_tri_offs per grid) and occs (n_seg * n_lights, R) the NEE
+    occlusion bits, both in schedule order. Single-pass only.
 
     par: (NPAR,) f32 scalars; ipar: (1,) i32 [pass_idx];
     sph (S, 8): [center xyz, radius, mat, mask, pad2];
@@ -1481,7 +1621,18 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
                   stream_sph=stream_sph,
                   n_sph_chunks=(sph.shape[0] // STREAM_CHUNK
                                 if stream_sph else 0),
-                  n_kernel_passes=n_passes)
+                  n_kernel_passes=n_passes,
+                  record=record,
+                  rec_sph_rows=(0 if not record else
+                                (sph.shape[0] if rec_sph_rows is None
+                                 else rec_sph_rows)),
+                  rec_tri_offs=tuple(rec_tri_offs))
+    if record:
+        assert n_passes == 1, "champion recording is single-pass"
+        n_seg_rec = 1 + (bounces if mode == "path" else 0)
+        n_rec = n_seg_rec + n_seg_rec * n_args["n_lig"]
+    else:
+        n_rec = 0
     if stream_sph:
         assert sph.shape[0] % STREAM_CHUNK == 0, \
             "streaming sphere table must be padded to a chunk multiple"
@@ -1593,16 +1744,26 @@ def pathtrace_pass_pallas(par: Array, ipar: Array, sph: Array, tri: Array,
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bnz
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),   # s_bm
         ]
+        if record:
+            scratch_shapes.append(
+                pltpu.VMEM((SUBLANES, LANES), jnp.float32))   # s_brid
 
     out = pl.pallas_call(
         functools.partial(_render_pass_kernel, **n_args),
         out_shape=tuple(jax.ShapeDtypeStruct((P // LANES, LANES), jnp.float32)
-                        for _ in range(3)),
+                        for _ in range(3 + n_rec)),
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=(ray_block,) * 3,
+        out_specs=(ray_block,) * (3 + n_rec),
         input_output_aliases={n_in - 3: 0, n_in - 2: 1, n_in - 1: 2},
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*args)
-    return jnp.stack([p.reshape(-1)[:R] for p in out], axis=-1)
+    acc_out = jnp.stack([p.reshape(-1)[:R] for p in out[0:3]], axis=-1)
+    if not record:
+        return acc_out
+    flat = [p.reshape(-1)[:R] for p in out[3:]]
+    ids = jnp.stack(flat[0:n_seg_rec])
+    occs = (jnp.stack(flat[n_seg_rec:]) if n_rec > n_seg_rec
+            else jnp.zeros((0, R), jnp.float32))
+    return acc_out, ids, occs

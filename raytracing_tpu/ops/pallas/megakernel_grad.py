@@ -183,6 +183,8 @@ SOFT_CHUNK = 64
 # streaming kernel's STREAM_CHUNK (chunk AABB tables line up 1:1).
 DIFF_CHUNK = 128
 
+DIFF_ALL = ("par", "sph", "tri", "mat", "lig")
+
 
 def _tree_champion(t, fields):
     """Static log2 tree min-reduce over axis 0 of ``t`` (C, S, L),
@@ -522,7 +524,8 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
                   russian_roulette: bool, rr_start_depth: int,
                   mode: str, tri_chunks=None, sph_chunks=None,
                   block: int = 0, diff_chunk: int = DIFF_CHUNK,
-                  mm: bool = False):
+                  mm: bool = False,
+                  trace_override=None, anyhit_override=None):
     """Accumulator DELTA for one ray tile as a pure function of the scene
     tables. Same math, same order as megakernel._render_pass_kernel (which
     cites the reference kernels line-by-line); differences are only
@@ -745,6 +748,13 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
                          chunk=diff_chunk)
         return occ > 0.0
 
+    if trace_override is not None:
+        # champion-resolution route (_tile_program_champ): trace/anyhit
+        # consume the forward's recorded champion rows / occlusion bits
+        # instead of sweeping the object tables
+        trace = trace_override
+        anyhit = anyhit_override
+
     def albedo_of(mf):
         ar = jnp.zeros(shape)
         ag = jnp.zeros(shape)
@@ -916,6 +926,206 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
                 (hpx, hpy, hpz), (hnx, hny, hnz))
 
     return accr, accg, accb
+
+
+# ---------------------------------------------------------------------------
+# CHAMPION (cell-marching) tile program — backward without object sweeps
+# ---------------------------------------------------------------------------
+
+def _tile_program_champ(par_s, sph, tri, mat, lig, ids, occs, pairs, ridf,
+                        in_range, *, spp: int, width: int, bounces: int,
+                        n_sph: int, n_tri: int, n_mat: int, n_lig: int,
+                        two_sided: bool, normalize_emitter: bool,
+                        russian_roulette: bool, rr_start_depth: int,
+                        mode: str, block: int = 0):
+    """The Assign10 schedule as a function of the FORWARD'S RECORDED
+    champions (the "cell" backward, round-5 VERDICT item 1).
+
+    The hard program's gradient flows only through each trace segment's
+    champion row (AD through the ``jnp.where`` champion merge) and not at
+    all through occlusion tests (step functions). So once the forward
+    megakernel — which already marches grid cells front-to-back with
+    tile-level early exit at full speed (ref DDA code.cl:675-800) — has
+    recorded each segment's champion DIFF-table row id and each NEE
+    occlusion bit (megakernel.pathtrace_pass_pallas ``record=True``), the
+    backward needs NO object sweep: this program GATHERS the champion
+    rows (``sph[sid]``/``tri[tid]``), re-derives the champion surface
+    analytically with the kernel's exact formulas, and runs the shading
+    chain on it. ``jax.vjp`` through the gather scatter-adds the row
+    cotangents back onto the diff tables — identical cotangents to the
+    sweep-based ``_tile_program`` a.e., at O(rays) instead of
+    O(rays x visited rows) cost.
+
+    ``ids``: list of (S, L) planes, one per trace segment in schedule
+    order (-1 miss; spheres in [0, n_sph), triangles offset by n_sph).
+    ``occs``: list of (S, L) 0/1 planes, one per NEE occlusion in
+    schedule order."""
+    shape = ridf.shape
+    seg_i = [0]
+    occ_i = [0]
+    # gathers only read the geometry columns; slicing before the gather
+    # keeps the (S, L, F) gathered planes minimal (streamed tables are
+    # padded to 128 DMA lanes). AD through the slice zero-pads the
+    # cotangent back to the full table shape.
+    sph_u = sph[:, 0:6] if n_sph else sph
+    tri_u = tri[:, 0:27] if n_tri else tri
+
+    def trace_impl(ox, oy, oz, dx, dy, dz, mint, maxt):
+        rid = ids[seg_i[0]]
+        seg_i[0] += 1
+        found = rid >= 0.0
+        nx = ny = nz = jnp.zeros(shape)
+        t_sel = jnp.zeros(shape)
+        matf = jnp.full(shape, -1.0)
+        if n_sph:
+            is_s = found & (rid < float(n_sph))
+            sid = jnp.clip(rid, 0.0, float(n_sph - 1)).astype(jnp.int32)
+            sv = sph_u[sid]
+            scx, scy, scz = sv[..., 0], sv[..., 1], sv[..., 2]
+            r, smf = sv[..., 3], sv[..., 4]
+            # the kernel's sph_body quadratic, verbatim (root select under
+            # the same [mint, maxt] window the champion loop used)
+            a = dx * dx + dy * dy + dz * dz
+            inv2a = 0.5 / a
+            mx = ox - scx
+            my = oy - scy
+            mz = oz - scz
+            b = 2.0 * (mx * dx + my * dy + mz * dz)
+            cq = mx * mx + my * my + mz * mz - r * r
+            dis = b * b - 4.0 * a * cq
+            sq = _safe_sqrt(dis)
+            t0 = (-b - sq) * inv2a
+            t1 = (-b + sq) * inv2a
+            tmn = jnp.minimum(t0, t1)
+            tmx = jnp.maximum(t0, t1)
+            t_s = jnp.where((tmn >= mint) & (tmn <= maxt), tmn, tmx)
+            ts_s = jnp.where(is_s, t_s, 0.0)
+            snx, sny, snz = _normalize3(ox + ts_s * dx - scx,
+                                        oy + ts_s * dy - scy,
+                                        oz + ts_s * dz - scz)
+            t_sel = jnp.where(is_s, t_s, t_sel)
+            nx = jnp.where(is_s, snx, nx)
+            ny = jnp.where(is_s, sny, ny)
+            nz = jnp.where(is_s, snz, nz)
+            matf = jnp.where(is_s, smf, matf)
+        if n_tri:
+            is_t = found & (rid >= float(n_sph))
+            tid = jnp.clip(rid - float(n_sph), 0.0,
+                           float(n_tri - 1)).astype(jnp.int32)
+            tv = tri_u[tid]
+            ngx, ngy, ngz = tv[..., 0], tv[..., 1], tv[..., 2]
+            c1x, c1y, c1z = tv[..., 3], tv[..., 4], tv[..., 5]
+            c2x, c2y, c2z = tv[..., 6], tv[..., 7], tv[..., 8]
+            e1x, e1y, e1z = tv[..., 9], tv[..., 10], tv[..., 11]
+            e2x, e2y, e2z = tv[..., 12], tv[..., 13], tv[..., 14]
+            kk, tmf = tv[..., 15], tv[..., 16]
+            xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
+            div = ngx * dx + ngy * dy + ngz * dz
+            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+            beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+            gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+            t_t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+            alpha = 1.0 - beta - gamma
+            tnx = alpha * tv[..., 18] + beta * tv[..., 21] \
+                + gamma * tv[..., 24]
+            tny = alpha * tv[..., 19] + beta * tv[..., 22] \
+                + gamma * tv[..., 25]
+            tnz = alpha * tv[..., 20] + beta * tv[..., 23] \
+                + gamma * tv[..., 26]
+            tnx, tny, tnz = _normalize3(tnx, tny, tnz)
+            t_sel = jnp.where(is_t, t_t, t_sel)
+            nx = jnp.where(is_t, tnx, nx)
+            ny = jnp.where(is_t, tny, ny)
+            nz = jnp.where(is_t, tnz, nz)
+            matf = jnp.where(is_t, tmf, matf)
+        ts = jnp.where(found, t_sel, 0.0)
+        hpx = ox + ts * dx
+        hpy = oy + ts * dy
+        hpz = oz + ts * dz
+        new_maxt = jnp.where(found, t_sel, maxt)
+        return new_maxt, (hpx, hpy, hpz,
+                          jnp.where(found, nx, 0.0),
+                          jnp.where(found, ny, 0.0),
+                          jnp.where(found, nz, 0.0),
+                          jnp.where(found, matf, -1.0))
+
+    def anyhit_impl(ox, oy, oz, dx, dy, dz, mint, maxt):
+        o = occs[occ_i[0]]
+        occ_i[0] += 1
+        return o > 0.5
+
+    return _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range,
+                         spp=spp, width=width, bounces=bounces,
+                         n_sph=n_sph, n_tri=n_tri, n_mat=n_mat,
+                         n_lig=n_lig, two_sided=two_sided,
+                         normalize_emitter=normalize_emitter,
+                         russian_roulette=russian_roulette,
+                         rr_start_depth=rr_start_depth, mode=mode,
+                         block=block, trace_override=trace_impl,
+                         anyhit_override=anyhit_impl)
+
+
+def _bwd_champion(par, ipar, sph, tri, mat, lig, g, u_planes, ids, occs, *,
+                  spp, width, bounces, two_sided, normalize_emitter,
+                  seed, mode, russian_roulette, rr_start_depth,
+                  diff_wrt=DIFF_ALL, block=0):
+    """Value-level cotangents via the champion program: jax.vjp of
+    _tile_program_champ over the whole padded ray set as one tile. The
+    graph is SHALLOW (no cond-chunk recursion — the round-4 oracle
+    backward segfaulted XLA's CPU compiler on deep cond-transpose
+    graphs) and sweep-free: gathers + shading chain + scatter-adds."""
+    assert u_planes is not None, \
+        "the champion backward replays draws from u_planes"
+    R = g.shape[0]
+    P = -(-R // LANES) * LANES
+    shape = (P // LANES, LANES)
+    g_planes = tuple(_pad_plane(g[:, c], P) for c in range(3))
+    u3 = jnp.stack([_pad_plane(u_planes[j], P)
+                    for j in range(u_planes.shape[0])])
+    # pad rid slots with -1 (miss), not 0 (= "sphere row 0 found")
+    ids_p = [_pad_plane(ids[k] + 1.0, P) - 1.0
+             for k in range(ids.shape[0])]
+    occs_p = [_pad_plane(occs[k], P) for k in range(occs.shape[0])]
+
+    def nonempty(t):
+        return t if t.shape[0] else jnp.zeros((1,) + t.shape[1:], t.dtype)
+
+    sph_n, tri_n, mat_n, lig_n = map(nonempty, (sph, tri, mat, lig))
+    pairs = _materialize_draws(u3, shape, spp=spp, n_lig=lig.shape[0],
+                               bounces=bounces, rr=russian_roulette,
+                               mode=mode)
+    rid_ = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    in_range = rid_ < R
+    ridf = (rid_ + ipar[1]).astype(jnp.float32)
+
+    vals = dict(par=[par[i] for i in range(NPAR)], sph=sph_n, tri=tri_n,
+                mat=mat_n, lig=lig_n)
+    sel = [n for n in DIFF_ALL if n in diff_wrt]
+
+    def f(*sel_args):
+        v = dict(vals)
+        v.update(dict(zip(sel, sel_args)))
+        return _tile_program_champ(
+            v["par"], v["sph"], v["tri"], v["mat"], v["lig"],
+            ids_p, occs_p, pairs, ridf, in_range,
+            spp=spp, width=width, bounces=bounces,
+            n_sph=sph.shape[0], n_tri=tri.shape[0],
+            n_mat=mat.shape[0], n_lig=lig.shape[0],
+            two_sided=two_sided, normalize_emitter=normalize_emitter,
+            russian_roulette=russian_roulette,
+            rr_start_depth=rr_start_depth, mode=mode, block=block)
+
+    _, vjp_fn = jax.vjp(f, *[vals[n] for n in sel])
+    cot = dict(zip(sel, vjp_fn(g_planes)))
+    dpar_l = cot.get("par", [jnp.float32(0.0)] * NPAR)
+    return (jnp.stack(dpar_l),
+            cot.get("sph", jnp.zeros_like(sph_n)),
+            cot.get("tri", jnp.zeros_like(tri_n)),
+            cot.get("mat", jnp.zeros_like(mat_n)),
+            cot.get("lig", jnp.zeros_like(lig_n)))
 
 
 # ---------------------------------------------------------------------------
@@ -1557,8 +1767,6 @@ def _tile_program_soft(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-DIFF_ALL = ("par", "sph", "tri", "mat", "lig")
-
 
 def _bwd_kernel(ipar, par, sph, tri, mat, lig, *rest,
                 n_rays: int, spp: int, width: int, bounces: int,
@@ -1855,7 +2063,8 @@ def _make_diff_op(spp, width, bounces, two_sided, normalize_emitter, seed,
                   interpret, mode, russian_roulette, rr_start_depth, remat,
                   diff_wrt, bwd_sublanes, soft_bandwidth=0.0, soft_tau=0.0,
                   stream_tri=False, stream_sph=False, block=0,
-                  diff_chunk=DIFF_CHUNK, grid_meta=None, bwd_xla=False):
+                  diff_chunk=DIFF_CHUNK, grid_meta=None, bwd_xla=False,
+                  bwd_cell=False):
     kw = dict(spp=spp, width=width, bounces=bounces, two_sided=two_sided,
               normalize_emitter=normalize_emitter, seed=seed,
               interpret=interpret, mode=mode,
@@ -1878,10 +2087,12 @@ def _make_diff_op(spp, width, bounces, two_sided, normalize_emitter, seed,
                     diff_chunk=diff_chunk)
 
     def _primal(par, ipar, sph, tri, mat, lig, acc, u_planes, chunks, sphc,
-                fwd_pack):
+                fwd_pack, record=False):
+        rec_kw = dict(record=True, rec_sph_rows=sph.shape[0]) if record \
+            else {}
         if grid_meta is None:
             return MK.pathtrace_pass_pallas(par, ipar, sph, tri, mat, lig,
-                                            acc, u_planes,
+                                            acc, u_planes, **rec_kw,
                                             **fwd_kw(chunks, sphc))
         # GRID mode: the primal is the production in-kernel grid pass over
         # the forward tables carried in ``fwd_pack`` (stop-gradient at the
@@ -1895,9 +2106,19 @@ def _make_diff_op(spp, width, bounces, two_sided, normalize_emitter, seed,
                       sph_arrs[3], sph_arrs[4]) if sph_n else None)
         grid = dict(start=start, streamed=streamed, tri=tri_list,
                     sph=sph_entry)
+        if record:
+            # per-grid DIFF-table row offsets: brute prefix [0, start),
+            # then each grid's payload rows in order (the cell-major
+            # streamed tables carry a GRID_CHUNK DMA pad that is not in
+            # the diff table)
+            offs, off = [], start
+            for a in tri_arrs:
+                offs.append(off)
+                off += a[1].shape[0] - (MK.GRID_CHUNK if streamed else 0)
+            rec_kw["rec_tri_offs"] = tuple(offs)
         return MK.pathtrace_pass_pallas(par, ipar, fwd_sph, fwd_tri, mat,
                                         lig, acc, u_planes, grid=grid,
-                                        block=block, **kw)
+                                        block=block, **rec_kw, **kw)
 
     @jax.custom_vjp
     def op(par, ipar, sph, tri, mat, lig, acc, u_planes, chunks, sphc,
@@ -1907,15 +2128,30 @@ def _make_diff_op(spp, width, bounces, two_sided, normalize_emitter, seed,
 
     def fwd(par, ipar, sph, tri, mat, lig, acc, u_planes, chunks, sphc,
             fwd_pack):
+        if bwd_cell:
+            # CELL route: the recording forward (same kernel + champion
+            # row-id / occlusion-bit planes) — the only traversal of the
+            # whole train step
+            out, ids, occs = _primal(par, ipar, sph, tri, mat, lig, acc,
+                                     u_planes, chunks, sphc, fwd_pack,
+                                     record=True)
+            return out, (par, ipar, sph, tri, mat, lig, u_planes, chunks,
+                         sphc, fwd_pack, ids, occs)
         out = _primal(par, ipar, sph, tri, mat, lig, acc, u_planes,
                       chunks, sphc, fwd_pack)
         return out, (par, ipar, sph, tri, mat, lig, u_planes, chunks, sphc,
-                     fwd_pack)
+                     fwd_pack, None, None)
 
     def bwd(res, g):
         (par, ipar, sph, tri, mat, lig, u_planes, chunks, sphc,
-         fwd_pack) = res
-        if interpret or bwd_xla:
+         fwd_pack, ids, occs) = res
+        if bwd_cell:
+            bkw = dict(kw)
+            bkw.pop("interpret")
+            dpar, dsph, dtri, dmat, dlig = _bwd_champion(
+                par, ipar, sph, tri, mat, lig, g, u_planes, ids, occs,
+                diff_wrt=diff_wrt, block=block, **bkw)
+        elif interpret or bwd_xla:
             # value-level transpose as ONE XLA program. On an accelerator
             # (bwd_xla) this is the fast route past the unroll budget: the
             # dense batched candidate sweep vectorizes across the whole
@@ -1963,7 +2199,8 @@ def pathtrace_pass_diff(par, ipar, sph, tri, mat, lig, acc, u_planes, *,
                         soft_bandwidth=0.0, soft_tau=0.0,
                         chunks=None, sph_chunks=None, block=0,
                         grid=None, fwd_tri=None, fwd_sph=None,
-                        diff_chunk=DIFF_CHUNK, bwd_xla=False):
+                        diff_chunk=DIFF_CHUNK, bwd_xla=False,
+                        bwd_cell=False):
     """Differentiable megakernel pass: primal = the fused forward kernel;
     backward = the fused recompute-VJP kernel above. Unrolled-table scenes
     only (see supported_diff in render/mega.py). ``diff_wrt`` restricts
@@ -2011,13 +2248,19 @@ def pathtrace_pass_diff(par, ipar, sph, tri, mat, lig, acc, u_planes, *,
     if bwd_xla and not interpret:
         assert u_planes is not None, \
             "the XLA backward replays draws from u_planes (no host PRNG)"
+    if bwd_cell:
+        assert u_planes is not None, \
+            "the champion (cell) backward replays draws from u_planes"
+        assert soft_bandwidth == 0.0, \
+            "the champion backward is hard-gradient only (edge mode " \
+            "needs the soft sweep)"
     op = _make_diff_op(spp, width, bounces, two_sided, normalize_emitter,
                        seed, interpret, mode, russian_roulette,
                        rr_start_depth, remat, tuple(diff_wrt),
                        bwd_sublanes, float(soft_bandwidth), float(soft_tau),
                        chunks is not None, sph_chunks is not None,
                        int(block), int(diff_chunk), grid_meta,
-                       bool(bwd_xla))
+                       bool(bwd_xla), bool(bwd_cell))
     dummy = jnp.zeros((1, 8), jnp.float32)
     return op(par, ipar, sph, tri, mat, lig, acc, u_planes,
               dummy if chunks is None else chunks,

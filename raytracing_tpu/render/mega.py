@@ -574,27 +574,42 @@ def supported_diff(scene: Scene | None, cfg: RenderConfig) -> bool:
 
 def bwd_impl_for(scene: Scene, cfg: RenderConfig) -> str:
     """Which backward the megakernel VJP runs (cfg.mega_bwd_impl):
-    "pallas" — the fused recompute kernel (candidates stay in VMEM);
-    "xla" — the dense value-level transpose as one XLA program with
-    MXU matmul-form candidates. Measured v5e, teapot 512^2 b5 train
-    (round 4, clean serial runs): pallas 1.85e7 (grid) / 2.12e7
-    (streamed) segs/s vs xla 4.4e6 / 4.8e6 — the dense route
-    materializes its (4C, R) candidate planes through HBM every chunk
-    and is bandwidth-bound, so "auto" routes EVERY table size to the
-    Pallas backward. The xla route stays selectable as the oracle and
-    for hosts without Mosaic support.
 
-    Exception: EDGE mode past the unroll budget routes to "xla" — the
-    vectorized chunked soft program (scan-based compositing, bounded
-    graph); the Pallas kernel's unrolled chunked soft is an opt-in
-    (its Mosaic graph grows O(C^2) per chunk)."""
+    "cell" — the CHAMPION (cell-marching) backward (round 5): the
+    forward kernel RECORDS each trace segment's champion diff-table row
+    and each NEE occlusion bit while marching its cells at full speed;
+    the backward gathers the champion rows, differentiates the shading
+    chain, and scatter-adds row cotangents — no object sweep at all
+    (the hard gradient flows only through champions; occlusion is a
+    step function). The production route for every scene past the
+    unroll budget, grid mode included.
+
+    "pallas" — the fused recompute kernel (candidates stay in VMEM):
+    fastest for UNROLLED cornell-class tables (its per-row sweep is
+    cheap at <= 64 objects, and it needs no u-planes tensor — the
+    on-core PRNG replays draws).
+
+    "xla" — the dense value-level transpose as one XLA program with
+    MXU matmul-form candidates (round-4 measure: 4x slower than the
+    Pallas chunk backward on teapot — kept as the sweep-based oracle).
+    EDGE mode past the unroll budget auto-routes here (the vectorized
+    chunked soft program needs the full sweep by construction)."""
     if cfg.mega_bwd_impl != "auto":
         return cfg.mega_bwd_impl
-    if cfg.mega_edge_bandwidth > 0.0 and scene is not None:
+    if cfg.mega_edge_bandwidth > 0.0:
+        if scene is not None:
+            from ..render.stages import _all_triangles
+            if (scene.spheres.count > MK.UNROLL_OBJECTS
+                    or _all_triangles(scene).count > MK.UNROLL_OBJECTS):
+                return "xla"
+        return "pallas"
+    if cfg.use_grid:
+        return "cell"
+    if scene is not None:
         from ..render.stages import _all_triangles
         if (scene.spheres.count > MK.UNROLL_OBJECTS
                 or _all_triangles(scene).count > MK.UNROLL_OBJECTS):
-            return "xla"
+            return "cell"
     return "pallas"
 
 
@@ -604,9 +619,11 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
                      ray_offset: Array | int = 0,
                      n_passes: int = 1) -> dict:
     """One progressive pass, megakernel edition. Same state contract as
-    pathtracer._render_pass. Unrolled-table scenes route through the
-    custom-VJP op (jax.grad works; ops/pallas/megakernel_grad.py);
-    streaming scenes are forward-only.
+    pathtracer._render_pass. Scenes within the supported_diff budget
+    (unrolled, streamed to DIFF_TABLE_MAX, grid-mode to GRID_DIFF_MAX)
+    route through the custom-VJP op (jax.grad works;
+    ops/pallas/megakernel_grad.py); beyond those budgets the pass is
+    forward-only.
 
     Under shard_map, ``state['acc']`` is the shard-local slice and
     ``ray_offset`` the global index of its first ray (axis_index * local_R):
@@ -617,9 +634,11 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
         interpret = jax.default_backend() == "cpu"
     assert n_passes == 1 or (u_planes is None and not interpret), \
         "in-kernel multi-pass needs the on-core PRNG (TPU, no u_planes)"
-    bwd_xla = (n_passes == 1 and supported_diff(scene, cfg)
-               and bwd_impl_for(scene, cfg) == "xla")
-    if (interpret or bwd_xla) and u_planes is None:
+    _impl = (bwd_impl_for(scene, cfg)
+             if n_passes == 1 and supported_diff(scene, cfg) else None)
+    bwd_xla = _impl == "xla"
+    bwd_cell = _impl == "cell"
+    if (interpret or bwd_xla or bwd_cell) and u_planes is None:
         # interpret mode cannot lower the on-core PRNG (pltpu.prng_seed has
         # no CPU rule); draw the pass-wide threefry tensor instead — this is
         # also what makes CPU output bit-identical to the XLA pipeline.
@@ -701,6 +720,7 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
                                   soft_tau=tau, chunks=chunks,
                                   sph_chunks=sphc, block=blk,
                                   bwd_xla=bwd_xla and not interpret,
+                                  bwd_cell=bwd_cell,
                                   **grid_diff_kw, **kw)
         if blk:
             acc = acc[r2s]

@@ -52,10 +52,10 @@ def _render_pass(scene: Scene, state: dict, cfg: RenderConfig) -> dict:
     """One progressive pass (= spp samples/pixel). Pure function of
     (scene, state)."""
     if cfg.use_megakernel:
-        # whole-pass fused Pallas kernel (forward-only production path;
-        # this XLA pipeline remains the differentiable oracle). Configs the
-        # kernel doesn't cover (grid/RR/stale-POI) fall through to the
-        # stage pipeline.
+        # whole-pass fused Pallas kernel (production path, differentiable
+        # within the supported_diff budgets; this XLA pipeline remains the
+        # oracle). Configs the kernel doesn't cover (stale-POI, >2^24
+        # rays) fall through to the stage pipeline.
         from .mega import render_pass_mega, supported
         if supported(scene, cfg):
             return render_pass_mega(scene, state, cfg)

@@ -8,7 +8,7 @@ run() {
   echo "### $tag [$(date +%H:%M:%S)]" | tee -a "$OUT"
   env "$@" timeout 2400 python bench.py 2>/tmp/bench_err.log \
     | tail -1 | tee -a "$OUT"
-  rc=$?
+  rc=${PIPESTATUS[0]}    # python/timeout status, not tee's
   if [ $rc -ne 0 ]; then
     echo "### $tag FAILED rc=$rc" | tee -a "$OUT"
     tail -5 /tmp/bench_err.log | tee -a "$OUT"

@@ -109,13 +109,19 @@ def main():
         slope = float((ads * fds).sum() / max((fds * fds).sum(), 1e-24))
         denom = float(np.linalg.norm(ads) * np.linalg.norm(fds))
         corr = float((ads * fds).sum() / max(denom, 1e-24))
-        results[name] = dict(slope=slope, corr=corr,
+        # absolute cross-check (advisor round-4): the residual of ad
+        # against the fitted line must be small relative to ||ad|| too,
+        # so an error confined to low-|fd| directions cannot hide behind
+        # the signal-weighted slope/corr aggregate
+        resid = float(np.linalg.norm(ads - slope * fds)
+                      / max(np.linalg.norm(ads), 1e-24))
+        results[name] = dict(slope=slope, corr=corr, resid=resid,
                              grad_norm=float(np.linalg.norm(g)))
         print(f"  {name}: slope={slope:.4f} corr={corr:.4f} "
               f"ad={np.round(ads, 6).tolist()} "
               f"fd={np.round(fds, 6).tolist()}", file=sys.stderr)
     ok = all(abs(r["slope"] - 1.0) < 0.1 and r["corr"] > 0.98
-             for r in results.values())
+             and r["resid"] < 0.25 for r in results.values())
     print(json.dumps({"metric": "grad_parity_1024",
                       "resolution": W, "bandwidth": BW,
                       "groups": results, "pass": ok}))

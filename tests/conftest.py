@@ -107,8 +107,15 @@ def pytest_collection_modifyitems(config, items):
 def pytest_pyfunc_call(pyfuncitem):
     """Run the test body on a big-stack worker thread (see stack_size
     above). Fixtures and collection stay on the main thread; exceptions
-    re-raise with their original tracebacks."""
+    re-raise with their original tracebacks. Only plain sync test
+    functions are hijacked — coroutine tests (or anything another
+    plugin must drive) fall through to the default call path, since the
+    big-stack rationale covers XLA compiles from sync bodies only."""
+    import inspect
+
     testfunction = pyfuncitem.obj
+    if inspect.iscoroutinefunction(testfunction):
+        return None
     testargs = {arg: pyfuncitem.funcargs[arg]
                 for arg in pyfuncitem._fixtureinfo.argnames}
     box = {}
