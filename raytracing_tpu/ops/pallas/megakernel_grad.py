@@ -932,6 +932,86 @@ def _tile_program(par_s, sph, tri, mat, lig, pairs, ridf, in_range, *,
 # CHAMPION (cell-marching) tile program — backward without object sweeps
 # ---------------------------------------------------------------------------
 
+def _champ_surface(rid, svals, tvals, n_sph, n_tri,
+                   ox, oy, oz, dx, dy, dz, mint, maxt):
+    """Champion surface from GATHERED row-value planes: re-derives
+    (t, hit point, normal, mat) with the forward kernel's exact formulas.
+    ``svals``: list of 6 planes [cx, cy, cz, r, mat, mask] (or None);
+    ``tvals``: list of 27 planes (packed tri row cols 0..26) (or None).
+    Shared by the value-level champion program (native gather) and the
+    Pallas champion kernel (masked one-hot gather)."""
+    shape = rid.shape
+    found = rid >= 0.0
+    nx = ny = nz = jnp.zeros(shape)
+    t_sel = jnp.zeros(shape)
+    matf = jnp.full(shape, -1.0)
+    if n_sph:
+        is_s = found & (rid < float(n_sph))
+        scx, scy, scz, r, smf = svals[0], svals[1], svals[2], svals[3], \
+            svals[4]
+        # the kernel's sph_body quadratic, verbatim (root select under
+        # the same [mint, maxt] window the champion loop used)
+        a = dx * dx + dy * dy + dz * dz
+        inv2a = 0.5 / a
+        mx = ox - scx
+        my = oy - scy
+        mz = oz - scz
+        b = 2.0 * (mx * dx + my * dy + mz * dz)
+        cq = mx * mx + my * my + mz * mz - r * r
+        dis = b * b - 4.0 * a * cq
+        sq = _safe_sqrt(dis)
+        t0 = (-b - sq) * inv2a
+        t1 = (-b + sq) * inv2a
+        tmn = jnp.minimum(t0, t1)
+        tmx = jnp.maximum(t0, t1)
+        t_s = jnp.where((tmn >= mint) & (tmn <= maxt), tmn, tmx)
+        ts_s = jnp.where(is_s, t_s, 0.0)
+        snx, sny, snz = _normalize3(ox + ts_s * dx - scx,
+                                    oy + ts_s * dy - scy,
+                                    oz + ts_s * dz - scz)
+        t_sel = jnp.where(is_s, t_s, t_sel)
+        nx = jnp.where(is_s, snx, nx)
+        ny = jnp.where(is_s, sny, ny)
+        nz = jnp.where(is_s, snz, nz)
+        matf = jnp.where(is_s, smf, matf)
+    if n_tri:
+        is_t = found & (rid >= float(n_sph))
+        tv = tvals
+        ngx, ngy, ngz = tv[0], tv[1], tv[2]
+        c1x, c1y, c1z = tv[3], tv[4], tv[5]
+        c2x, c2y, c2z = tv[6], tv[7], tv[8]
+        e1x, e1y, e1z = tv[9], tv[10], tv[11]
+        e2x, e2y, e2z = tv[12], tv[13], tv[14]
+        kk, tmf = tv[15], tv[16]
+        xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
+        div = ngx * dx + ngy * dy + ngz * dz
+        idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
+        beta = (e2x * xx + e2y * xy_ + e2z * xz_
+                - (c2x * dx + c2y * dy + c2z * dz)) * idiv
+        gamma = ((c1x * dx + c1y * dy + c1z * dz)
+                 - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
+        t_t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
+        alpha = 1.0 - beta - gamma
+        tnx = alpha * tv[18] + beta * tv[21] + gamma * tv[24]
+        tny = alpha * tv[19] + beta * tv[22] + gamma * tv[25]
+        tnz = alpha * tv[20] + beta * tv[23] + gamma * tv[26]
+        tnx, tny, tnz = _normalize3(tnx, tny, tnz)
+        t_sel = jnp.where(is_t, t_t, t_sel)
+        nx = jnp.where(is_t, tnx, nx)
+        ny = jnp.where(is_t, tny, ny)
+        nz = jnp.where(is_t, tnz, nz)
+        matf = jnp.where(is_t, tmf, matf)
+    ts = jnp.where(found, t_sel, 0.0)
+    hpx = ox + ts * dx
+    hpy = oy + ts * dy
+    hpz = oz + ts * dz
+    new_maxt = jnp.where(found, t_sel, maxt)
+    return new_maxt, (hpx, hpy, hpz,
+                      jnp.where(found, nx, 0.0),
+                      jnp.where(found, ny, 0.0),
+                      jnp.where(found, nz, 0.0),
+                      jnp.where(found, matf, -1.0))
+
 def _tile_program_champ(par_s, sph, tri, mat, lig, ids, occs, pairs, ridf,
                         in_range, *, spp: int, width: int, bounces: int,
                         n_sph: int, n_tri: int, n_mat: int, n_lig: int,
@@ -970,86 +1050,27 @@ def _tile_program_champ(par_s, sph, tri, mat, lig, ids, occs, pairs, ridf,
     sph_u = sph[:, 0:6] if n_sph else sph
     tri_u = tri[:, 0:27] if n_tri else tri
 
-    def trace_impl(ox, oy, oz, dx, dy, dz, mint, maxt):
-        rid = ids[seg_i[0]]
-        seg_i[0] += 1
-        found = rid >= 0.0
-        nx = ny = nz = jnp.zeros(shape)
-        t_sel = jnp.zeros(shape)
-        matf = jnp.full(shape, -1.0)
+    def gather_vals(rid):
+        """(svals, tvals) champion-row value planes by native gather (the
+        AD transpose of this is the scatter-add back onto the tables)."""
+        svals = tvals = None
         if n_sph:
-            is_s = found & (rid < float(n_sph))
             sid = jnp.clip(rid, 0.0, float(n_sph - 1)).astype(jnp.int32)
             sv = sph_u[sid]
-            scx, scy, scz = sv[..., 0], sv[..., 1], sv[..., 2]
-            r, smf = sv[..., 3], sv[..., 4]
-            # the kernel's sph_body quadratic, verbatim (root select under
-            # the same [mint, maxt] window the champion loop used)
-            a = dx * dx + dy * dy + dz * dz
-            inv2a = 0.5 / a
-            mx = ox - scx
-            my = oy - scy
-            mz = oz - scz
-            b = 2.0 * (mx * dx + my * dy + mz * dz)
-            cq = mx * mx + my * my + mz * mz - r * r
-            dis = b * b - 4.0 * a * cq
-            sq = _safe_sqrt(dis)
-            t0 = (-b - sq) * inv2a
-            t1 = (-b + sq) * inv2a
-            tmn = jnp.minimum(t0, t1)
-            tmx = jnp.maximum(t0, t1)
-            t_s = jnp.where((tmn >= mint) & (tmn <= maxt), tmn, tmx)
-            ts_s = jnp.where(is_s, t_s, 0.0)
-            snx, sny, snz = _normalize3(ox + ts_s * dx - scx,
-                                        oy + ts_s * dy - scy,
-                                        oz + ts_s * dz - scz)
-            t_sel = jnp.where(is_s, t_s, t_sel)
-            nx = jnp.where(is_s, snx, nx)
-            ny = jnp.where(is_s, sny, ny)
-            nz = jnp.where(is_s, snz, nz)
-            matf = jnp.where(is_s, smf, matf)
+            svals = [sv[..., k] for k in range(6)]
         if n_tri:
-            is_t = found & (rid >= float(n_sph))
             tid = jnp.clip(rid - float(n_sph), 0.0,
                            float(n_tri - 1)).astype(jnp.int32)
             tv = tri_u[tid]
-            ngx, ngy, ngz = tv[..., 0], tv[..., 1], tv[..., 2]
-            c1x, c1y, c1z = tv[..., 3], tv[..., 4], tv[..., 5]
-            c2x, c2y, c2z = tv[..., 6], tv[..., 7], tv[..., 8]
-            e1x, e1y, e1z = tv[..., 9], tv[..., 10], tv[..., 11]
-            e2x, e2y, e2z = tv[..., 12], tv[..., 13], tv[..., 14]
-            kk, tmf = tv[..., 15], tv[..., 16]
-            xx, xy_, xz_ = _cross(ox, oy, oz, dx, dy, dz)
-            div = ngx * dx + ngy * dy + ngz * dz
-            idiv = 1.0 / jnp.where(div == 0.0, 1.0, div)
-            beta = (e2x * xx + e2y * xy_ + e2z * xz_
-                    - (c2x * dx + c2y * dy + c2z * dz)) * idiv
-            gamma = ((c1x * dx + c1y * dy + c1z * dz)
-                     - (e1x * xx + e1y * xy_ + e1z * xz_)) * idiv
-            t_t = (kk - (ngx * ox + ngy * oy + ngz * oz)) * idiv
-            alpha = 1.0 - beta - gamma
-            tnx = alpha * tv[..., 18] + beta * tv[..., 21] \
-                + gamma * tv[..., 24]
-            tny = alpha * tv[..., 19] + beta * tv[..., 22] \
-                + gamma * tv[..., 25]
-            tnz = alpha * tv[..., 20] + beta * tv[..., 23] \
-                + gamma * tv[..., 26]
-            tnx, tny, tnz = _normalize3(tnx, tny, tnz)
-            t_sel = jnp.where(is_t, t_t, t_sel)
-            nx = jnp.where(is_t, tnx, nx)
-            ny = jnp.where(is_t, tny, ny)
-            nz = jnp.where(is_t, tnz, nz)
-            matf = jnp.where(is_t, tmf, matf)
-        ts = jnp.where(found, t_sel, 0.0)
-        hpx = ox + ts * dx
-        hpy = oy + ts * dy
-        hpz = oz + ts * dz
-        new_maxt = jnp.where(found, t_sel, maxt)
-        return new_maxt, (hpx, hpy, hpz,
-                          jnp.where(found, nx, 0.0),
-                          jnp.where(found, ny, 0.0),
-                          jnp.where(found, nz, 0.0),
-                          jnp.where(found, matf, -1.0))
+            tvals = [tv[..., k] for k in range(27)]
+        return svals, tvals
+
+    def trace_impl(ox, oy, oz, dx, dy, dz, mint, maxt):
+        rid = ids[seg_i[0]]
+        seg_i[0] += 1
+        svals, tvals = gather_vals(rid)
+        return _champ_surface(rid, svals, tvals, n_sph, n_tri,
+                              ox, oy, oz, dx, dy, dz, mint, maxt)
 
     def anyhit_impl(ox, oy, oz, dx, dy, dz, mint, maxt):
         o = occs[occ_i[0]]
@@ -1126,6 +1147,350 @@ def _bwd_champion(par, ipar, sph, tri, mat, lig, g, u_planes, ids, occs, *,
             cot.get("tri", jnp.zeros_like(tri_n)),
             cot.get("mat", jnp.zeros_like(mat_n)),
             cot.get("lig", jnp.zeros_like(lig_n)))
+
+
+# rows per champion chunk in the Pallas champion backward: the one-hot
+# gather/scatter matmuls are (32, rays) x (rays, cols) MXU contractions
+CHAMP_CHUNK = 32
+
+
+def _bwd_champ_kernel(ipar, par, sph, tri, mat, lig, ids_ref, *rest,
+                      n_rays: int, spp: int, width: int, bounces: int,
+                      n_sph: int, n_tri: int, n_mat: int, n_lig: int,
+                      two_sided: bool, normalize_emitter: bool,
+                      use_u: bool, seed: int, mode: str,
+                      russian_roulette: bool, rr_start_depth: int,
+                      diff_wrt: tuple, bwd_sublanes: int, block: int,
+                      n_seg: int, n_occ: int,
+                      sph_pad: int, tri_pad: int):
+    """The CELL-MARCHING backward as ONE Pallas kernel (round-5 VERDICT
+    item 1): per ray tile,
+
+      1. replay the forward's draws (on-core PRNG re-seeded with the same
+         (seed, pass, shard, tile) counters, or the u-planes tensor);
+      2. GATHER each trace segment's champion row values from the diff
+         tables with one-hot MXU matmuls over the tile's champion-chunk
+         range (champions cluster: blocked pixel tiles see few chunks);
+      3. run ``jax.vjp`` of the champion shading program (_champ_surface
+         + the _tile_program shading chain — NO object sweeps; occlusion
+         bits are recorded constants);
+      4. SCATTER the row cotangents back with the transposed one-hot
+         matmuls, accumulating into whole-table outputs across the grid.
+
+    ``n_sph``/``n_tri`` are the UNPADDED diff-table row counts (the
+    champion id space); ``sph_pad``/``tri_pad`` the padded table rows."""
+    rest = list(rest)
+    occ_ref = rest.pop(0) if n_occ else None
+    u_ref = rest.pop(0) if use_u else None
+    g_refs = rest[0:3]
+    dpar_ref, dsph_ref, dtri_ref, dmat_ref, dlig_ref = rest[3:8]
+
+    S_B = bwd_sublanes
+    shape = (S_B, LANES)
+    Rt = S_B * LANES
+    pid = pl.program_id(0)
+    roff = ipar[1]
+    if not use_u:
+        ratio = SUBLANES // S_B
+        f_tile = pid // ratio if ratio > 1 else pid
+        mixed = (jnp.int32(seed & 0x7FFFFFFF) * jnp.int32(1000003)
+                 + ipar[0] * jnp.int32(40503) + roff * jnp.int32(131)
+                 + f_tile)
+        pltpu.prng_seed(mixed)
+    pairs = _materialize_draws(u_ref, (SUBLANES, LANES) if not use_u
+                               else shape,
+                               spp=spp, n_lig=n_lig,
+                               bounces=bounces, rr=russian_roulette,
+                               mode=mode)
+    if not use_u and S_B != SUBLANES:
+        q = pid % (SUBLANES // S_B)
+
+        def pick(u):
+            out = jnp.zeros((S_B, LANES), u.dtype)
+            for r in range(SUBLANES // S_B):
+                out = jnp.where(q == r, u[r * S_B:(r + 1) * S_B, :], out)
+            return out
+
+        pairs = [tuple(pick(u) for u in p) for p in pairs]
+
+    rid_ = ((pid * S_B
+             + jax.lax.broadcasted_iota(jnp.int32, shape, 0)) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    in_range = rid_ < n_rays
+    ridf = (rid_ + roff).astype(jnp.float32)
+
+    ids = [ids_ref[k] for k in range(n_seg)]
+    occs = [occ_ref[k] for k in range(n_occ)]
+
+    def flat(x):
+        return x.reshape(1, Rt)
+
+    def unflat(x):
+        return x.reshape(S_B, LANES)
+
+    def onehot(ridc, lo):
+        """(CHAMP_CHUNK, Rt) one-hot: M[j, r] = (ridc[r] == lo + j)."""
+        rf = flat(ridc) - lo.astype(jnp.float32)
+        jrow = jax.lax.broadcasted_iota(
+            jnp.int32, (CHAMP_CHUNK, Rt), 0).astype(jnp.float32)
+        return jnp.where(jrow == rf, 1.0, 0.0)
+
+    def chunk_bounds(ridc, n_rows, n_pad):
+        """Champion-chunk index range [c0, c1) covering this tile's valid
+        ids in [0, n_rows) — champions cluster, so the range is tight."""
+        valid = (ridc >= 0.0) & (ridc < float(n_rows))
+        anyv = jnp.any(valid)
+        mn = jnp.min(jnp.where(valid, ridc, jnp.float32(3e38)))
+        mx = jnp.max(jnp.where(valid, ridc, jnp.float32(-1.0)))
+        c0 = jnp.clip(jnp.floor(mn / CHAMP_CHUNK), 0.0,
+                      float(n_pad // CHAMP_CHUNK)).astype(jnp.int32)
+        c1 = jnp.clip(jnp.floor(mx / CHAMP_CHUNK) + 1.0, 0.0,
+                      float(n_pad // CHAMP_CHUNK)).astype(jnp.int32)
+        return jnp.where(anyv, c0, jnp.int32(0)), \
+            jnp.where(anyv, c1, jnp.int32(0))
+
+    HI = jax.lax.Precision.HIGHEST
+
+    def gather_tab(ridc, tab_ref, n_rows, n_pad, F):
+        """(F, Rt) champion-row values: sum over champion chunks of
+        tab_chunk^T @ one-hot — each ray column receives exactly its
+        champion's row (one-hot x bf16x6-pass = f32-exact)."""
+        c0, c1 = chunk_bounds(ridc, n_rows, n_pad)
+
+        def body(ci, acc):
+            lo = ci * CHAMP_CHUNK
+            M = onehot(ridc, lo)
+            tabc = tab_ref[pl.ds(lo, CHAMP_CHUNK), :]
+            G = jax.lax.dot_general(
+                tabc, M, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HI)
+            return acc + G
+
+        return jax.lax.fori_loop(c0, c1, body, jnp.zeros((F, Rt)))
+
+    def scatter_tab(ridc, d_planes, dref, n_rows, n_pad):
+        """Accumulate per-ray cotangent planes onto diff-table rows:
+        one-hot @ D^T per champion chunk (MXU), += into the whole-table
+        output ref."""
+        F = dref.shape[1]
+        D = jnp.concatenate(
+            [flat(p) for p in d_planes]
+            + [jnp.zeros((F - len(d_planes), Rt))] * (
+                1 if F > len(d_planes) else 0), axis=0)
+        c0, c1 = chunk_bounds(ridc, n_rows, n_pad)
+
+        def body(ci, _):
+            lo = ci * CHAMP_CHUNK
+            M = onehot(ridc, lo)
+            C = jax.lax.dot_general(
+                M, D, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HI)
+            cur = dref[pl.ds(lo, CHAMP_CHUNK), :]
+            dref[pl.ds(lo, CHAMP_CHUNK), :] = cur + C
+            return 0
+
+        jax.lax.fori_loop(c0, c1, body, 0)
+
+    # ---- phase A: gather champion rows for every trace segment ---------
+    seg_vals = []
+    for s in range(n_seg):
+        rid = ids[s]
+        sv = tv = None
+        if n_sph:
+            G = gather_tab(rid, sph, n_sph, sph_pad, sph.shape[1])
+            sv = [unflat(G[k:k + 1, :]) for k in range(6)]
+        if n_tri:
+            G = gather_tab(rid - float(n_sph), tri, n_tri, tri_pad,
+                           tri.shape[1])
+            tv = [unflat(G[k:k + 1, :]) for k in range(27)]
+        seg_vals.append((sv, tv))
+
+    # ---- phase B: vjp of the champion shading program ------------------
+    par_list = [par[i] for i in range(NPAR)]
+    mat_v = mat[:]
+    lig_v = lig[:]
+    want_geo = ("sph" in diff_wrt and n_sph) or \
+        ("tri" in diff_wrt and n_tri)
+    vals = dict(par=par_list, mat=mat_v, lig=lig_v, vals=seg_vals)
+    sel = [n for n in ("par", "mat", "lig") if n in diff_wrt]
+    if want_geo:
+        sel.append("vals")
+    dummy = jnp.zeros((1, 8))
+
+    def f(*sel_args):
+        v = dict(vals)
+        v.update(dict(zip(sel, sel_args)))
+        seg_i = [0]
+        occ_i = [0]
+
+        def trace_impl(ox, oy, oz, dx, dy, dz, mint, maxt):
+            svt = v["vals"][seg_i[0]]
+            rid = ids[seg_i[0]]
+            seg_i[0] += 1
+            return _champ_surface(rid, svt[0], svt[1], n_sph, n_tri,
+                                  ox, oy, oz, dx, dy, dz, mint, maxt)
+
+        def anyhit_impl(ox, oy, oz, dx, dy, dz, mint, maxt):
+            o = occs[occ_i[0]]
+            occ_i[0] += 1
+            return o > 0.5
+
+        return _tile_program(
+            v["par"], dummy, dummy, v["mat"], v["lig"], pairs, ridf,
+            in_range, spp=spp, width=width, bounces=bounces,
+            n_sph=0, n_tri=0, n_mat=n_mat, n_lig=n_lig,
+            two_sided=two_sided, normalize_emitter=normalize_emitter,
+            russian_roulette=russian_roulette,
+            rr_start_depth=rr_start_depth, mode=mode, block=block,
+            trace_override=trace_impl, anyhit_override=anyhit_impl)
+
+    _, vjp_fn = jax.vjp(f, *[vals[n] for n in sel])
+    g = tuple(ref[:] for ref in g_refs)
+    cot = dict(zip(sel, vjp_fn(g)))
+    dpar_l = cot.get("par", [jnp.float32(0.0)] * NPAR)
+    dmat = cot.get("mat", jnp.zeros_like(mat_v))
+    dlig = cot.get("lig", jnp.zeros_like(lig_v))
+
+    @pl.when(pid == 0)
+    def _():
+        for i in range(NPAR):
+            dpar_ref[i] = 0.0
+        dsph_ref[:] = jnp.zeros_like(dsph_ref)
+        dtri_ref[:] = jnp.zeros_like(dtri_ref)
+        dmat_ref[:] = jnp.zeros_like(dmat_ref)
+        dlig_ref[:] = jnp.zeros_like(dlig_ref)
+
+    for i in range(NPAR):
+        dpar_ref[i] += dpar_l[i]
+    dmat_ref[:] += dmat
+    dlig_ref[:] += dlig
+
+    # ---- phase C: scatter row cotangents back onto the diff tables -----
+    if want_geo:
+        d_seg = cot["vals"]
+        for s in range(n_seg):
+            dsv, dtv = d_seg[s]
+            rid = ids[s]
+            if n_sph and "sph" in diff_wrt:
+                scatter_tab(rid, dsv, dsph_ref, n_sph, sph_pad)
+            if n_tri and "tri" in diff_wrt:
+                scatter_tab(rid - float(n_sph), dtv, dtri_ref, n_tri,
+                            tri_pad)
+
+
+def _bwd_champ_pallas(par, ipar, sph, tri, mat, lig, g, u_planes, ids,
+                      occs, *, spp, width, bounces, two_sided,
+                      normalize_emitter, seed, mode, russian_roulette,
+                      rr_start_depth, diff_wrt=DIFF_ALL,
+                      bwd_sublanes=SUBLANES, block=0, interpret=False):
+    """Host wrapper for the Pallas champion backward. Same contract as
+    _bwd_champion (value level); tables ride whole in VMEM, row counts
+    padded to CHAMP_CHUNK; geometry columns sliced to the packed widths
+    (8 sphere / 32 triangle) before the kernel and the cotangent
+    zero-padded back after."""
+    R = g.shape[0]
+    P = -(-R // TILE) * TILE
+    n_tiles = P // (bwd_sublanes * LANES)
+    g_planes = [_pad_plane(g[:, c], P) for c in range(3)]
+
+    n_sph = sph.shape[0]
+    n_tri = tri.shape[0]
+    n_seg = ids.shape[0]
+    n_occ = occs.shape[0]
+
+    def prep(t, F):
+        t2 = t[:, :F]
+        pad = -(-max(t.shape[0], 1) // CHAMP_CHUNK) * CHAMP_CHUNK
+        if pad != t2.shape[0]:
+            t2 = jnp.concatenate(
+                [t2, jnp.zeros((pad - t2.shape[0], F), t.dtype)])
+        return t2.astype(jnp.float32)
+
+    sph_p = prep(sph if n_sph else jnp.zeros((1, 8)), 8)
+    tri_p = prep(tri if n_tri else jnp.zeros((1, 32)), 32)
+
+    kw = dict(n_rays=R, spp=spp, width=width, bounces=bounces,
+              n_sph=n_sph, n_tri=n_tri, n_mat=max(mat.shape[0], 1),
+              n_lig=lig.shape[0], two_sided=two_sided,
+              normalize_emitter=normalize_emitter,
+              use_u=u_planes is not None, seed=seed, mode=mode,
+              russian_roulette=russian_roulette,
+              rr_start_depth=rr_start_depth, diff_wrt=tuple(diff_wrt),
+              bwd_sublanes=bwd_sublanes, block=block,
+              n_seg=n_seg, n_occ=n_occ,
+              sph_pad=sph_p.shape[0], tri_pad=tri_p.shape[0])
+
+    def nonempty(t):
+        return t if t.shape[0] else jnp.zeros((1,) + t.shape[1:], t.dtype)
+
+    mat_n, lig_n = map(nonempty, (mat, lig))
+    ray_block = pl.BlockSpec((bwd_sublanes, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def planes3(x, n):
+        st = jnp.stack([_pad_plane(x[k], P) for k in range(n)])
+        spec = pl.BlockSpec((n, bwd_sublanes, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+        return st, spec
+
+    # pad rid slots with -1 (miss), not 0 (= "sphere row 0 found")
+    ids3, ids_spec = planes3(ids + 1.0, n_seg)
+    ids3 = ids3 - 1.0
+    in_specs = [smem, smem, vmem, vmem, vmem, vmem, ids_spec]
+    args = [ipar, par, sph_p, tri_p, mat_n, lig_n, ids3]
+    if n_occ:
+        occ3, occ_spec = planes3(occs, n_occ)
+        in_specs.append(occ_spec)
+        args.append(occ3)
+    if u_planes is not None:
+        D2 = u_planes.shape[0]
+        u3, u_spec = planes3(u_planes, D2)
+        in_specs.append(u_spec)
+        args.append(u3)
+    in_specs += [ray_block] * 3
+    args += g_planes
+
+    def acc_spec(shp):
+        return pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((NPAR,), jnp.float32),
+        jax.ShapeDtypeStruct(sph_p.shape, jnp.float32),
+        jax.ShapeDtypeStruct(tri_p.shape, jnp.float32),
+        jax.ShapeDtypeStruct(mat_n.shape, jnp.float32),
+        jax.ShapeDtypeStruct(lig_n.shape, jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((NPAR,), lambda i: (0,), memory_space=pltpu.SMEM),
+        acc_spec(sph_p.shape), acc_spec(tri_p.shape),
+        acc_spec(mat_n.shape), acc_spec(lig_n.shape),
+    )
+    dpar, dsph_p, dtri_p, dmat, dlig = pl.pallas_call(
+        functools.partial(_bwd_champ_kernel, **kw),
+        out_shape=out_shape,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=114 * 1024 * 1024),
+    )(*args)
+
+    def restore(d_p, t):
+        if t.shape[0] == 0:
+            return jnp.zeros_like(t)
+        d = d_p[:t.shape[0]]
+        if t.shape[1] > d.shape[1]:
+            d = jnp.concatenate(
+                [d, jnp.zeros((d.shape[0], t.shape[1] - d.shape[1]))], -1)
+        return d
+
+    return (dpar, restore(dsph_p, sph), restore(dtri_p, tri),
+            dmat[:mat.shape[0]] if mat.shape[0] else jnp.zeros_like(mat),
+            dlig[:lig.shape[0]] if lig.shape[0] else jnp.zeros_like(lig))
 
 
 # ---------------------------------------------------------------------------
@@ -2148,9 +2513,21 @@ def _make_diff_op(spp, width, bounces, two_sided, normalize_emitter, seed,
         if bwd_cell:
             bkw = dict(kw)
             bkw.pop("interpret")
-            dpar, dsph, dtri, dmat, dlig = _bwd_champion(
-                par, ipar, sph, tri, mat, lig, g, u_planes, ids, occs,
-                diff_wrt=diff_wrt, block=block, **bkw)
+            if interpret:
+                # value level (CPU): native gather + AD scatter — shallow
+                # graph, needs u_planes (no host analog of the on-core PRNG)
+                dpar, dsph, dtri, dmat, dlig = _bwd_champion(
+                    par, ipar, sph, tri, mat, lig, g, u_planes, ids, occs,
+                    diff_wrt=diff_wrt, block=block, **bkw)
+            else:
+                # accelerator: the fused Pallas champion kernel (one-hot
+                # MXU gather/scatter over champion chunks, on-core PRNG
+                # replay — no u-planes tensor, so the recording forward
+                # keeps its PRNG-mode speed)
+                dpar, dsph, dtri, dmat, dlig = _bwd_champ_pallas(
+                    par, ipar, sph, tri, mat, lig, g, u_planes, ids, occs,
+                    diff_wrt=diff_wrt, block=block,
+                    bwd_sublanes=bwd_sublanes, interpret=False, **bkw)
         elif interpret or bwd_xla:
             # value-level transpose as ONE XLA program. On an accelerator
             # (bwd_xla) this is the fast route past the unroll budget: the
@@ -2228,9 +2605,12 @@ def pathtrace_pass_diff(par, ipar, sph, tri, mat, lig, acc, u_planes, *,
     replaying the forward's cell culling (ref DDA cell loops,
     code.cl:675-800). Cotangents flow through the diff tables' gather
     back to the original rows."""
-    if soft_bandwidth > 0.0:
-        assert grid is None, \
-            "edge-aware backward does not cover grid mode"
+    if soft_bandwidth > 0.0 and grid is not None:
+        # EDGE x GRID (round 5): the primal is the grid kernel (fwd_pack);
+        # the soft backward runs over the UN-duplicated value tables passed
+        # as sph/tri — the caller (render/mega.py) must NOT pass cell-major
+        # duplicated diff tables here (double-compositing)
+        pass
     grid_meta = None
     fwd_pack = ()
     if grid is not None:
@@ -2249,8 +2629,9 @@ def pathtrace_pass_diff(par, ipar, sph, tri, mat, lig, acc, u_planes, *,
         assert u_planes is not None, \
             "the XLA backward replays draws from u_planes (no host PRNG)"
     if bwd_cell:
-        assert u_planes is not None, \
-            "the champion (cell) backward replays draws from u_planes"
+        assert u_planes is not None or not interpret, \
+            "the champion (cell) backward on CPU replays draws from " \
+            "u_planes (the Pallas kernel replays the on-core PRNG)"
         assert soft_bandwidth == 0.0, \
             "the champion backward is hard-gradient only (edge mode " \
             "needs the soft sweep)"

@@ -545,7 +545,16 @@ def supported_diff(scene: Scene | None, cfg: RenderConfig) -> bool:
     from ..render.stages import _all_triangles
     if cfg.use_grid:
         if cfg.mega_edge_bandwidth > 0.0:
-            return False
+            # EDGE x GRID (round 5): the soft backward runs over the
+            # UN-duplicated tables (the grid primal is unchanged), so the
+            # gate is the plain DIFF_TABLE_MAX budget — plus a prepared
+            # grid so the primal exists
+            if scene is None:
+                return True
+            if _all_triangles(scene).count and scene.folded_tri_grid is None:
+                return False
+            return (scene.spheres.count <= DIFF_TABLE_MAX
+                    and _all_triangles(scene).count <= DIFF_TABLE_MAX)
         if scene is None:
             return True
         grids = scene.folded_tri_grid or ()
@@ -637,8 +646,11 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
     _impl = (bwd_impl_for(scene, cfg)
              if n_passes == 1 and supported_diff(scene, cfg) else None)
     bwd_xla = _impl == "xla"
+    # the cell route's Pallas backward replays the on-core PRNG, so on an
+    # accelerator the recording forward keeps its PRNG-mode speed (no
+    # u-planes tensor); CPU/interpret still materializes draws
     bwd_cell = _impl == "cell"
-    if (interpret or bwd_xla or bwd_cell) and u_planes is None:
+    if (interpret or bwd_xla) and u_planes is None:
         # interpret mode cannot lower the on-core PRNG (pltpu.prng_seed has
         # no CPU rule); draw the pass-wide threefry tensor instead — this is
         # also what makes CPU output bit-identical to the XLA pipeline.
@@ -667,14 +679,29 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
         tri_full, sph_full = tri, sph
         grid, tri, sph = grid_tables(scene, tri, sph)
         if supported_diff(scene, cfg) and n_passes == 1:
-            # GRID-mode training: primal = the grid kernel on the forward
-            # tables; backward = cell-structured diff tables (see
-            # grid_diff_tables). The op's tri/sph ARE the diff tables.
-            dtri, chunks, dsph, sphc, dchunk = grid_diff_tables(
-                scene, tri_full, sph_full, grid)
-            grid_diff_kw = dict(grid=grid, fwd_tri=tri, fwd_sph=sph,
-                                diff_chunk=dchunk)
-            tri, sph = dtri, dsph
+            if cfg.mega_edge_bandwidth > 0.0:
+                # EDGE-AWARE x GRID (round 5): primal = the grid kernel on
+                # the forward tables; backward = the chunked SOFT program
+                # over the UN-DUPLICATED full tables (cell-major duplicated
+                # diff rows would composite the same surface twice and bias
+                # the blend). Morton-sort keeps soft chunks spatially
+                # compact; AD un-permutes cotangents through the gather.
+                dtri = tri_full
+                if tri_full.shape[0] > MK.UNROLL_OBJECTS:
+                    dtri, _ = tri_chunk_tables(scene, tri_full,
+                                               _all_triangles(scene))
+                grid_diff_kw = dict(grid=grid, fwd_tri=tri, fwd_sph=sph)
+                tri, sph = dtri, sph_full
+            else:
+                # GRID-mode training: primal = the grid kernel on the
+                # forward tables; backward = cell-structured diff tables
+                # (see grid_diff_tables). The op's tri/sph ARE the diff
+                # tables.
+                dtri, chunks, dsph, sphc, dchunk = grid_diff_tables(
+                    scene, tri_full, sph_full, grid)
+                grid_diff_kw = dict(grid=grid, fwd_tri=tri, fwd_sph=sph,
+                                    diff_chunk=dchunk)
+                tri, sph = dtri, dsph
     elif tri.shape[0] > MK.STREAM_MIN_TRIS:
         tri, chunks = tri_chunk_tables(scene, tri, _all_triangles(scene))
     if (not grid_diff_kw and sphc is None

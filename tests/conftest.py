@@ -90,9 +90,16 @@ _SLOW = {
     # value-level grid VJP + XLA pipeline oracle on 2 CPUs)
     "test_diff_grads_grid_mode_teapot",
     "test_diff_grads_grid_streamed_matches_resident",
+    # round-5 champion (cell) backward comparisons
+    "test_cell_backward_matches_pipeline_cornell",
+    "test_cell_backward_matches_pipeline_rr",
+    "test_cell_backward_streamed_teapot",
+    "test_cell_backward_sphere_grid",
+    "test_bwd_champ_pallas_matches_value_level",
     "test_edge_chunked_converges_to_hard",
     "test_edge_chunked_fd_unmasked",
     "test_edge_chunked_production_wiring",
+    "test_edge_grid_mode_teapot",
 }
 
 

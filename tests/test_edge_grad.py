@@ -316,3 +316,102 @@ def test_edge_chunked_production_wiring():
     g_soft = np.asarray(jax.grad(loss_soft)(big.spheres.center))
     np.testing.assert_allclose(g_prod, g_soft, rtol=1e-5, atol=1e-7)
     assert np.abs(g_prod).max() > 0
+
+
+def test_edge_grid_mode_teapot():
+    """EDGE-AWARE x GRID (round-5 VERDICT item 5): jax.grad through
+    render_pass_mega with use_grid AND mega_edge_bandwidth on the
+    reference cornell_teapot scene (per-mesh XML nslabs). The primal is
+    the in-kernel grid pass; the backward is the chunked soft program
+    over the UN-duplicated Morton-sorted tables. Gate: (a) production
+    grads == the soft oracle's (same packing; AD un-permutes the Morton
+    gather), (b) FD-allclose of the soft value wrt a teapot vertex and a
+    sphere center (the VERDICT done criterion)."""
+    import os
+
+    from raytracing_tpu.accel import prepare_grids
+    from raytracing_tpu.io.scene_xml import load_scene
+    from raytracing_tpu.models.assignments import REF_ROOT
+    from raytracing_tpu.render.mega import supported_diff
+
+    xml = os.path.join(REF_ROOT,
+                       "Assign10-Path_Tracing/scenes/cornell_teapot.xml")
+    if not os.path.exists(xml):
+        pytest.skip("reference cornell_teapot.xml not available")
+    scene = prepare_grids(load_scene(xml, 16, 12), 2, mesh_slabs="xml")
+    BW = 2e-2
+    cfg = RenderConfig(width=16, height=12, spp=1, bounces=1,
+                       use_grid=True, use_megakernel=True,
+                       mega_edge_bandwidth=BW)
+    assert supported_diff(scene, cfg)
+    st = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(st["key"], st["passes"], cfg, scene.lights.count)
+    ipar = jnp.array([0, 0], jnp.int32)
+    kw = dict(spp=1, width=cfg.width, bounces=1, two_sided=False,
+              normalize_emitter=True, soft_bandwidth=BW, soft_tau=BW)
+    mesh_i = [i for i, m in enumerate(scene.meshes) if m.tris.count > 64]
+    assert mesh_i, "cornell_teapot must carry a large mesh instance"
+
+    def with_params(center, mv):
+        meshes = list(scene.meshes)
+        for i in mesh_i:
+            m = meshes[i]
+            meshes[i] = dataclasses.replace(
+                m, tris=dataclasses.replace(m.tris, v=mv))
+        return dataclasses.replace(
+            scene, meshes=tuple(meshes),
+            spheres=dataclasses.replace(scene.spheres, center=center))
+
+    def loss_prod(center, mv):
+        out = render_pass_mega(with_params(center, mv), st, cfg,
+                               u_planes=u, interpret=True)
+        return jnp.sum(out["acc"])
+
+    def loss_soft(center, mv):
+        # the production path Morton-sorts the table before the chunked
+        # soft program (chunk partitions differ between orderings), so
+        # the oracle must composite over the SAME sorted table
+        from raytracing_tpu.render import mega as MG
+        from raytracing_tpu.render.stages import _all_triangles
+        sc = with_params(center, mv)
+        p_, s_, t_, m_, l_ = scene_tables(sc, cfg)
+        t_sorted, _ = MG.tri_chunk_tables(sc, t_, _all_triangles(sc))
+        return jnp.sum(soft_pass_value(p_, ipar, s_, t_sorted, m_, l_,
+                                       u, **kw))
+
+    c0 = scene.spheres.center
+    mv0 = scene.meshes[mesh_i[0]].tris.v
+    gc_p, gm_p = jax.grad(loss_prod, argnums=(0, 1))(c0, mv0)
+    gc_s, gm_s = jax.grad(loss_soft, argnums=(0, 1))(c0, mv0)
+    gc_p, gm_p = np.asarray(gc_p), np.asarray(gm_p)
+    gc_s, gm_s = np.asarray(gc_s), np.asarray(gm_s)
+    assert np.isfinite(gc_p).all() and np.isfinite(gm_p).all()
+    assert np.abs(gc_p).max() > 0 and np.abs(gm_p).max() > 0
+    np.testing.assert_allclose(gc_p, gc_s, rtol=1e-5,
+                               atol=1e-6 * max(np.abs(gc_s).max(), 1e-9))
+    np.testing.assert_allclose(gm_p, gm_s, rtol=1e-5,
+                               atol=1e-6 * max(np.abs(gm_s).max(), 1e-9))
+
+    # FD spot checks of the soft value (well-posed everywhere): the
+    # top-|grad| sphere-center component and teapot-vertex component
+    def fd(f, x0, idx, eps):
+        x0 = np.asarray(x0)
+        xp = x0.copy()
+        xp[idx] += eps
+        xm = x0.copy()
+        xm[idx] -= eps
+        return (float(f(jnp.asarray(xp))) - float(f(jnp.asarray(xm)))) \
+            / (2 * eps)
+
+    # the XML scene spans a [-1,1] box, so eps must be well under the
+    # 2e-2 bandwidth or FD reads curvature, not slope (measured: at
+    # eps=2e-3 the central difference is 1.6x the true derivative,
+    # converging to it by 4e-4)
+    idx_c = np.unravel_index(np.argmax(np.abs(gc_s)), gc_s.shape)
+    g_fd = fd(lambda x: loss_soft(x, mv0), c0, idx_c, 4e-4)
+    assert abs(gc_s[idx_c] - g_fd) / max(abs(g_fd), 1e-9) < 0.12, \
+        (gc_s[idx_c], g_fd)
+    idx_m = np.unravel_index(np.argmax(np.abs(gm_s)), gm_s.shape)
+    g_fd = fd(lambda x: loss_soft(c0, x), mv0, idx_m, 4e-4)
+    assert abs(gm_s[idx_m] - g_fd) / max(abs(g_fd), 1e-9) < 0.12, \
+        (gm_s[idx_m], g_fd)

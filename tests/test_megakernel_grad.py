@@ -407,3 +407,139 @@ def test_diff_gating_grid():
     cfg_edge = dataclasses.replace(cfg, mega_edge_bandwidth=1e-2)
     assert not supported_diff(scene, cfg_edge)
     assert GRID_DIFF_MAX >= 4096
+
+
+# ---------------------------------------------------------------------------
+# CHAMPION (cell-marching) backward (round 5): the production route past
+# the unroll budget — forward records champion rows + occlusion bits, the
+# backward is gather + shading VJP + scatter (no object sweep)
+# ---------------------------------------------------------------------------
+
+def test_cell_backward_matches_pipeline_cornell(scene):
+    """Forced cell route on the unrolled cornell scene: cotangents must
+    equal the XLA stage pipeline componentwise (same champions, same
+    shading chain — the champion program re-derives the surface with the
+    kernel's exact formulas)."""
+    cfg = RenderConfig(width=32, height=24, spp=1, bounces=2,
+                       mega_bwd_impl="cell")
+    _compare(scene, cfg)
+
+
+def test_cell_backward_matches_pipeline_rr(scene):
+    cfg = RenderConfig(width=32, height=24, spp=1, bounces=2,
+                       russian_roulette=True, rr_start_depth=1,
+                       mega_bwd_impl="cell")
+    _compare(scene, cfg)
+
+
+def test_cell_backward_streamed_teapot():
+    """Cell route on a Morton-STREAMED table (teapot, 992 tris): the
+    recorded champion ids index the streamed (sorted) diff table; AD
+    through the Morton gather un-permutes the cotangents. Compared against
+    the sweep-based reference backward on the same megakernel primal, so
+    the gate is componentwise (identical draws, identical champions)."""
+    from raytracing_tpu.models.scenes import big_mesh_scene
+    scene = big_mesh_scene("teapot.json", cols=24, rows=16)
+    cfg = RenderConfig(width=24, height=16, spp=1, bounces=1)
+    state0 = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(state0["key"], state0["passes"], cfg,
+                          scene.lights.count)
+
+    def run(impl):
+        c = dataclasses.replace(cfg, mega_bwd_impl=impl)
+        return _grads_mesh(scene, c,
+                           lambda sc, st: render_pass_mega(
+                               sc, st, c, u_planes=u, interpret=True))
+
+    v_ref, g_ref = run("xla")
+    v_cell, g_cell = run("cell")
+    np.testing.assert_allclose(float(v_cell), float(v_ref), rtol=1e-6)
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_cell[k])
+        if a.size == 0:
+            continue
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(b, a, rtol=5e-3, atol=5e-3 * scale,
+                                   err_msg=k)
+
+
+def test_cell_backward_sphere_grid(monkeypatch):
+    """Cell route through the in-kernel SPHERE GRID (molecule training):
+    SMEM_TABLE_MAX is shrunk so a 64-sphere field builds a mega sphere
+    grid and the kernel streams cell-major sphere rows — the recorded
+    champion ids must index the cell-major diff table (duplicated rows,
+    scatter back through the grid gather)."""
+    from raytracing_tpu.accel import prepare_grids
+    from raytracing_tpu.ops.pallas import megakernel as MKm
+    scene = sphere_field(64, cols=24, rows=16)
+    cfg = RenderConfig(width=24, height=16, spp=1, bounces=1,
+                       use_grid=True, mega_bwd_impl="cell")
+    cfg_x = dataclasses.replace(cfg, use_grid=False, mega_bwd_impl="auto")
+    state0 = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(state0["key"], state0["passes"], cfg,
+                          scene.lights.count)
+    vx, gx = _grads(scene, cfg,
+                    lambda sc, st: pathtracer._render_pass(sc, st, cfg_x))
+    monkeypatch.setattr(MKm, "SMEM_TABLE_MAX", 64)
+    sc_g = prepare_grids(scene, 2)
+    assert sc_g.mega_sph_grid is not None
+    assert supported_diff(sc_g, cfg)
+    vm, gm = _grads(sc_g, cfg,
+                    lambda sc, st: render_pass_mega(sc, st, cfg,
+                                                    u_planes=u,
+                                                    interpret=True))
+    monkeypatch.undo()
+    np.testing.assert_allclose(float(vm), float(vx), rtol=1e-3)
+    for k in gx:
+        a, b = np.asarray(gx[k]), np.asarray(gm[k])
+        if a.size == 0 or np.abs(a).max() == 0:
+            continue
+        assert np.isfinite(b).all(), k
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        cos = (a * b).sum() / max(na * nb, 1e-20)
+        assert cos > 0.99, f"{k}: cosine {cos}"
+        assert 0.8 < nb / max(na, 1e-20) < 1.25, f"{k}: norms {na} {nb}"
+
+
+@pytest.mark.slow
+def test_bwd_champ_pallas_matches_value_level():
+    """The Pallas champion kernel (interpret) vs the value-level champion
+    backward: same recorded ids/occs, same draws. Gate is aggregate
+    (cosine + norm): the two compile the same math under different tile
+    shapes, so a boundary ray can flip a recomputed window compare
+    (champion-flip noise class, BASELINE.md) and reroute its cotangent."""
+    from raytracing_tpu.ops.pallas import megakernel as MKm
+    from raytracing_tpu.ops.pallas import megakernel_grad as MG
+    from raytracing_tpu.render.mega import scene_tables
+
+    cfg = RenderConfig(width=32, height=24, spp=1, bounces=1)
+    sc = cornell_box(cols=32, rows=24)
+    state0 = pathtracer.init_state(cfg)
+    u = u_planes_for_pass(state0["key"], state0["passes"], cfg,
+                          sc.lights.count)
+    par, sph, tri, mat, lig = scene_tables(sc, cfg)
+    ipar = jnp.zeros((2,), jnp.int32)
+    acc0 = jnp.zeros((cfg.total_rays, 3), jnp.float32)
+    kw = dict(spp=1, width=32, bounces=1, two_sided=False,
+              normalize_emitter=True, seed=cfg.seed)
+    _, ids, occs = MKm.pathtrace_pass_pallas(
+        par, ipar, sph, tri, mat, lig, acc0, u, record=True,
+        interpret=True, **kw)
+    rng = np.random.default_rng(5)
+    g = jnp.asarray(rng.normal(size=(cfg.total_rays, 3)).astype(np.float32))
+    bkw = dict(mode="path", russian_roulette=False, rr_start_depth=0, **kw)
+    ref = MG._bwd_champion(par, ipar, sph, tri, mat, lig, g, u, ids, occs,
+                           **bkw)
+    got = MG._bwd_champ_pallas(par, ipar, sph, tri, mat, lig, g, u, ids,
+                               occs, interpret=True, **bkw)
+    for name, a, b in zip(["dpar", "dsph", "dtri", "dmat", "dlig"],
+                          ref, got):
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        assert np.isfinite(b).all(), name
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0:
+            assert nb == 0, name
+            continue
+        cos = (a * b).sum() / max(na * nb, 1e-20)
+        assert cos > 0.9999, f"{name}: cosine {cos}"
+        assert 0.99 < nb / na < 1.01, f"{name}: norms {na} {nb}"
