@@ -360,13 +360,35 @@ def _train_bench(jax, scene, cfg, iters: int) -> None:
     params.update({f"mesh{i}": scene.meshes[i].tris.v for i in mesh_i})
     state = pathtracer.init_state(cfg)
 
-    (l, state), grads = step(params, state)
-    float(grads["materials"].ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    # BENCH_TRAIN_CHAIN=K: run K REAL SGD steps per jit call (lax.scan,
+    # params updated inside) — the steady-state form of a training loop,
+    # amortizing the ~6 ms axon-relay dispatch each single-step call pays.
+    # K=1 (default) is the per-call number.
+    chain = int(os.environ.get("BENCH_TRAIN_CHAIN", "1"))
+    if chain > 1:
+        def kbody(carry, _):
+            p, st = carry
+            (l, st), grads = jax.value_and_grad(loss, has_aux=True)(p, st)
+            p = jax.tree.map(lambda a, g: a - 1e-3 * g, p, grads)
+            return (p, st), l
+        stepK = jax.jit(lambda p, st: jax.lax.scan(kbody, (p, st), None,
+                                                   length=chain))
+        (p1, state), ls = stepK(params, state)
+        float(ls.ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(max(iters // chain, 1)):
+            (p1, state), ls = stepK(params, state)
+        float(ls.ravel()[0])
+        dt = time.perf_counter() - t0
+        iters = max(iters // chain, 1) * chain
+    else:
         (l, state), grads = step(params, state)
-    float(grads["materials"].ravel()[0])
-    dt = time.perf_counter() - t0
+        float(grads["materials"].ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            (l, state), grads = step(params, state)
+        float(grads["materials"].ravel()[0])
+        dt = time.perf_counter() - t0
 
     n_lights = scene.lights.count
     rays = cfg.total_rays * (1 + n_lights + cfg.bounces * (1 + n_lights))

@@ -39,6 +39,64 @@ def write_png(path: str, image: np.ndarray) -> None:
         f.write(encode_png(image))
 
 
+def read_png(path: str) -> np.ndarray:
+    """Minimal PNG reader (stdlib zlib): 8-bit RGB/RGBA/gray,
+    non-interlaced, all five scanline filters. Returns (H, W, C) uint8.
+    Covers files written by write_png (filter 0) and common encoders."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = b""
+    w = h = depth = color = interlace = None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    assert depth == 8 and interlace == 0, "read_png: 8-bit non-interlaced only"
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)],
+            np.uint8).astype(np.int32)
+        cur = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = cur[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = line[x] + a
+            elif ft == 2:
+                v = line[x] + b
+            elif ft == 3:
+                v = line[x] + (a + b) // 2
+            else:                      # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                v = line[x] + pred
+            cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, nch)
+
+
 def tonemap_u8(acc: np.ndarray, divisor: float, exposure: float = 1.8
                ) -> np.ndarray:
     """Accumulator -> u8 image the reference way (ref copyToPixel

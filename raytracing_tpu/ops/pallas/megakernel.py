@@ -82,7 +82,12 @@ STREAM_MIN_TRIS = UNROLL_OBJECTS
 # per-cell buffer layout, splitTriangleData code.js:1643-1772); a visited
 # cell's rows are DMA'd in sub-chunks of this many 128-wide rows. Cells
 # average tens of items, so a small chunk keeps the fetch tight.
-GRID_CHUNK = 32
+# RT_GRID_CHUNK overrides for tuning (must divide the padded cell tables;
+# render/mega._cell_major_table pads with GRID_CHUNK rows so any value
+# set at import time is consistent).
+import os as _os
+
+GRID_CHUNK = int(_os.environ.get("RT_GRID_CHUNK", "32"))
 
 
 class _FlatTable:

@@ -316,10 +316,15 @@ def grid_tables(scene: Scene, tri: Array, sph: Array
 
 
 # GRID-mode differentiable row budget: the diff tables duplicate rows
-# across cells (the reference's own re-vendored per-cell layout), and the
-# backward jaxpr holds one cond+chunk block per diff_chunk rows per trace
-# segment — this caps both table memory and compile time.
-GRID_DIFF_MAX = 16384
+# across cells (the reference's own re-vendored per-cell layout). Round 5:
+# the production CELL backward's graph is table-size-independent (dynamic
+# champion-chunk loops + native gather/scatter), so the cap now only
+# bounds diff-table memory (rows x 32 f32; 32k rows = 4 MB) — it covers
+# the 9,018-atom molecule's 25,750 duplicated sphere rows. The legacy
+# chunk backward (mega_bwd_impl="pallas"/"xla") emits one cond block per
+# DIFF_CHUNK rows per trace segment and should not be forced past the old
+# 16384 budget.
+GRID_DIFF_MAX = 32768
 
 
 def _diff_chunk_for(n_rows: int) -> int:

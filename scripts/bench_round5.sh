@@ -30,9 +30,6 @@ if want train; then
   run teapot_stream_train_cell BENCH_SCENE=teapot BENCH_MODE=train \
       BENCH_WIDTH=512 BENCH_HEIGHT=512 BENCH_GRAD_WRT=sph,mat,tri \
       BENCH_BWD_IMPL=cell
-  run teapot_grid_train_pallas BENCH_SCENE=teapot BENCH_MODE=train \
-      BENCH_WIDTH=512 BENCH_HEIGHT=512 BENCH_GRID=1 \
-      BENCH_GRAD_WRT=sph,mat,tri BENCH_BWD_IMPL=pallas
   run teapot_xla_fallback BENCH_SCENE=teapot BENCH_MODE=train \
       BENCH_WIDTH=512 BENCH_HEIGHT=512 BENCH_GRAD_WRT=sph,mat,tri \
       BENCH_MEGA=0
@@ -45,6 +42,10 @@ if want train; then
       BENCH_BWD_IMPL=cell
   # cornell-class regression (unrolled tables stay on the pallas route)
   run cornell_train BENCH_MODE=train
+  # round-4 Pallas chunk backward A/B row (LAST: ~25 min relay compile)
+  run teapot_grid_train_pallas BENCH_SCENE=teapot BENCH_MODE=train \
+      BENCH_WIDTH=512 BENCH_HEIGHT=512 BENCH_GRID=1 \
+      BENCH_GRAD_WRT=sph,mat,tri BENCH_BWD_IMPL=pallas
 fi
 
 if want fwd; then
