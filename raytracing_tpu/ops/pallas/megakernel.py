@@ -264,8 +264,15 @@ class _Draws:
             b0 = pltpu.prng_random_bits(self.shape)
             b1 = pltpu.prng_random_bits(self.shape)
             scale = jnp.float32(1.0 / (1 << 24))
-            u0 = (b0 >> 8).astype(jnp.float32) * scale
-            u1 = (b1 >> 8).astype(jnp.float32) * scale
+            # LOGICAL shift: prng_random_bits yields signed i32, and an
+            # arithmetic `>> 8` would sign-extend — half the draws came
+            # out in [-0.5, 0) and biased every sampler in PRNG mode
+            # (caught by the round-5 TPU golden tie, which the
+            # u-planes-verified CPU path could never see)
+            u0 = jax.lax.shift_right_logical(b0, 8).astype(jnp.float32) \
+                * scale
+            u1 = jax.lax.shift_right_logical(b1, 8).astype(jnp.float32) \
+                * scale
         self.j += 1
         return u0, u1
 

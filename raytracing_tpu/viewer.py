@@ -124,6 +124,8 @@ class RenderSession:
         self._thread: threading.Thread | None = None
         self._running = False
         self._png = b""
+        self._img = None
+        self._png_frame = -1
         self._frame = 0
         self._passes = 0
         self._msegs = 0.0
@@ -185,12 +187,14 @@ class RenderSession:
         return cfg
 
     def _publish(self, img) -> None:
-        import numpy as np
-
-        from .io.png import encode_png
-        png = encode_png(np.asarray(img))
+        # LAZY publish (round 5): store the device-side image and bump the
+        # frame counter; the host fetch + PNG encode (~0.5 s at 1024^2 on
+        # this box — 35x one render chunk) happens only when a client
+        # actually requests /frame.png, once per frame (cached). The
+        # reference pays putImageData every pass (code.js:1530-1537); we
+        # don't have to.
         with self._lock:
-            self._png = png
+            self._img = img
             self._frame += 1
 
     def step(self, scene="cornell", renderer="path", spp=1,
@@ -305,8 +309,22 @@ class RenderSession:
                 for d in jax.devices()]
 
     def frame_png(self) -> bytes:
+        import numpy as np
+
+        from .io.png import encode_png
         with self._lock:
-            return self._png
+            img = self._img
+            frame = self._frame
+            if img is None:
+                return self._png
+            if frame == self._png_frame and self._png:
+                return self._png
+        png = encode_png(np.asarray(img))      # fetch+encode outside lock
+        with self._lock:
+            if frame >= self._png_frame:
+                self._png = png
+                self._png_frame = frame
+        return png
 
 
 def make_server(session: RenderSession, port: int = 8000,

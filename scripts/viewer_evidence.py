@@ -17,7 +17,10 @@ def main():
     from raytracing_tpu.viewer import RenderSession
 
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
-    s = RenderSession(width=1024, height=1024, bounces=5)
+    # 16 passes/chunk at 1024^2 — the same steady-state chunk the bench
+    # uses; the default 4 keeps the 320x240 UI snappy but pays per-chunk
+    # fixed costs 4x more often at this resolution
+    s = RenderSession(width=1024, height=1024, bounces=5, chunk_passes=16)
     s.start(scene="cornell", renderer="path", spp=1)
     t0 = time.time()
     samples = []

@@ -394,9 +394,11 @@ def test_diff_grads_grid_streamed_matches_resident(monkeypatch):
 
 
 def test_diff_gating_grid():
-    """Grid scenes are now diff-supported when prepared and within the
-    GRID_DIFF_MAX duplicated-row budget; edge mode stays excluded."""
-    from raytracing_tpu.render.mega import GRID_DIFF_MAX
+    """Grid scenes are diff-supported when prepared and within the
+    GRID_DIFF_MAX duplicated-row budget; since round 5 EDGE mode covers
+    grid scenes too (soft backward over the un-duplicated tables) within
+    the plain DIFF_TABLE_MAX budget."""
+    from raytracing_tpu.render.mega import DIFF_TABLE_MAX, GRID_DIFF_MAX
     cfg = RenderConfig(width=8, height=8, use_grid=True,
                        use_megakernel=True)
     # build-time (scene=None) check is optimistic for grid configs now —
@@ -405,7 +407,9 @@ def test_diff_gating_grid():
     scene = _grid_scene(8, 8)
     assert supported_diff(scene, cfg)
     cfg_edge = dataclasses.replace(cfg, mega_edge_bandwidth=1e-2)
-    assert not supported_diff(scene, cfg_edge)
+    assert supported_diff(scene, cfg_edge)      # round-5 edge x grid
+    assert not supported_diff(
+        sphere_field(DIFF_TABLE_MAX + 1, cols=8, rows=8), cfg_edge)
     assert GRID_DIFF_MAX >= 4096
 
 
