@@ -5,12 +5,21 @@ backward on, at the metric's full resolution.
 
 Method: the edge-aware production VJP returns the gradient of the SOFT
 reparameterized program (ops/pallas/megakernel_grad._tile_program_soft) —
-the well-posed smooth function whose finite differences exist everywhere,
+the well-posed smooth function whose derivatives exist everywhere,
 silhouettes included. We evaluate a fixed random-weighted full-image loss
 of the soft value, take its gradient through the PRODUCTION path
 (render_pass_mega with cfg.mega_edge_bandwidth -> the fused Pallas
 backward kernel on TPU), and compare directional derivatives against
-central differences of the soft value along random parameter directions.
+
+  1. the soft program's EXACT forward-mode JVP (jax.jvp of the value
+     program; memory-light at 1024^2 where reverse mode OOMs) — the
+     primary oracle, gated tightly; and
+  2. central differences of the soft value — a loose sanity cross-check
+     only: at bandwidth 2e-2 no workable eps separates truncation from
+     curvature for silhouette-heavy wall-vertex directions (measured
+     round 5: FD off by up to ~40% per direction while VJP and JVP agree
+     to ~1e-3 — forward- and reverse-mode through two INDEPENDENT
+     programs, production Pallas kernel vs value-level XLA).
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/grad_parity_1024.py
 
@@ -73,6 +82,16 @@ def main():
         return jnp.mean(soft_pass_value(p_, ipar, s_, t_, m_, l_, u, **kw)
                         * wts)
 
+    def soft_acc(p):
+        # per-ray soft values (no reduction): the FD side reduces in
+        # FLOAT64 on host — a single f32 mean over 1M pixels carries
+        # ~1e-6 relative noise, which at eps=2e-3 is ~15% of a typical
+        # wall-vertex directional derivative and was the limiting factor
+        # of the tv group's slope/corr gates (round 5)
+        sc = apply(scene, p)
+        p_, s_, t_, m_, l_ = scene_tables(sc, cfg)
+        return soft_pass_value(p_, ipar, s_, t_, m_, l_, u, **kw)
+
     def loss_prod(p):
         sc = apply(scene, p)
         out = render_pass_mega(sc, st, cfg, u_planes=u, interpret=False)
@@ -87,7 +106,14 @@ def main():
           file=sys.stderr)
     grad = jax.grad(loss_prod)(p0)
     jax.block_until_ready(grad)
-    f_soft = jax.jit(loss_soft)
+    f_acc = jax.jit(soft_acc)
+    wts64 = np.asarray(wts, np.float64)
+
+    def f_soft(p):
+        # float64 host reduction of the device f32 per-ray values
+        return float((np.asarray(f_acc(p), np.float64) * wts64).mean())
+
+    jvp_f = jax.jit(lambda p, t: jax.jvp(loss_soft, (p,), (t,))[1])
 
     rng = np.random.default_rng(0)
     results = {}
@@ -101,39 +127,52 @@ def main():
         # 1M-pixel mean. Weighting by |g| probes where the gradient
         # claims signal — which is exactly the claim under test.
         wt = np.abs(g) / max(np.abs(g).max(), 1e-30)
+        jvps = []
         for _ in range(N_DIRS):
             d = (rng.standard_normal(g.shape).astype(np.float32)
                  * (0.2 + wt))
             d /= np.linalg.norm(d)
             ads.append(float((g * d).sum()))
+            tangent = {k: (jnp.asarray(d) if k == name
+                           else jnp.zeros_like(jnp.asarray(v)))
+                       for k, v in p0.items()}
+            jvps.append(float(jvp_f(p0, tangent)))
             pp = {k: (jnp.asarray(np.asarray(v) + EPS * d) if k == name
                       else v) for k, v in p0.items()}
             pm = {k: (jnp.asarray(np.asarray(v) - EPS * d) if k == name
                       else v) for k, v in p0.items()}
-            fds.append((float(f_soft(pp)) - float(f_soft(pm))) / (2 * EPS))
+            fds.append((f_soft(pp) - f_soft(pm)) / (2 * EPS))
         ads = np.asarray(ads)
+        jvps = np.asarray(jvps)
         fds = np.asarray(fds)
         # Single f32 directional differences of a 1M-pixel mean carry
         # ~1e-6 absolute noise, so per-direction relative error diverges
         # exactly when |fd| is small (an uninformative direction). The
         # sound aggregate is the least-squares slope of ad against fd
         # (weights each direction by its signal) plus their correlation.
-        slope = float((ads * fds).sum() / max((fds * fds).sum(), 1e-24))
-        denom = float(np.linalg.norm(ads) * np.linalg.norm(fds))
-        corr = float((ads * fds).sum() / max(denom, 1e-24))
-        # absolute cross-check (advisor round-4): the residual of ad
-        # against the fitted line must be small relative to ||ad|| too,
-        # so an error confined to low-|fd| directions cannot hide behind
-        # the signal-weighted slope/corr aggregate
-        resid = float(np.linalg.norm(ads - slope * fds)
-                      / max(np.linalg.norm(ads), 1e-24))
-        results[name] = dict(slope=slope, corr=corr, resid=resid,
+        def fit(ref):
+            slope = float((ads * ref).sum() / max((ref * ref).sum(), 1e-24))
+            denom = float(np.linalg.norm(ads) * np.linalg.norm(ref))
+            corr = float((ads * ref).sum() / max(denom, 1e-24))
+            # absolute cross-check (advisor round-4): residual of ad
+            # against the fitted line, relative to ||ad||
+            resid = float(np.linalg.norm(ads - slope * ref)
+                          / max(np.linalg.norm(ads), 1e-24))
+            return slope, corr, resid
+
+        sj, cj, rj = fit(jvps)          # exact-oracle gates (tight)
+        sf, cf, rf = fit(fds)           # FD sanity cross-check (loose)
+        results[name] = dict(jvp_slope=sj, jvp_corr=cj, jvp_resid=rj,
+                             fd_slope=sf, fd_corr=cf,
                              grad_norm=float(np.linalg.norm(g)))
-        print(f"  {name}: slope={slope:.4f} corr={corr:.4f} "
+        print(f"  {name}: jvp slope={sj:.4f} corr={cj:.4f} | "
+              f"fd slope={sf:.4f} corr={cf:.4f} "
               f"ad={np.round(ads, 6).tolist()} "
+              f"jvp={np.round(jvps, 6).tolist()} "
               f"fd={np.round(fds, 6).tolist()}", file=sys.stderr)
-    ok = all(abs(r["slope"] - 1.0) < 0.1 and r["corr"] > 0.98
-             and r["resid"] < 0.25 for r in results.values())
+    ok = all(abs(r["jvp_slope"] - 1.0) < 0.02 and r["jvp_corr"] > 0.995
+             and r["jvp_resid"] < 0.05 and abs(r["fd_slope"] - 1.0) < 0.5
+             and r["fd_corr"] > 0.8 for r in results.values())
     print(json.dumps({"metric": "grad_parity_1024",
                       "resolution": W, "bandwidth": BW,
                       "groups": results, "pass": ok}))

@@ -73,6 +73,7 @@ _SLOW = {
     "test_sharded_render_matches_single_device",
     "test_train_step_grads_match_single_device",
     "test_mega_train_step_grads_match_single_device",
+    "test_mega_cell_train_sharded_matches_single_device",
     "test_objsharded_closest_hit_matches",
     # full-pipeline goldens / progressive statistics
     "test_golden", "test_direct_progressive_passes",

@@ -177,3 +177,41 @@ def test_objsharded_closest_hit_matches():
     assert (np.array(got.idx)[ok] == np.array(ref.idx)[ok]).all()
     np.testing.assert_allclose(np.array(got.t)[ok], np.array(ref.t)[ok],
                                atol=1e-6)
+
+
+def test_mega_cell_train_sharded_matches_single_device():
+    """Round 5: the CHAMPION (cell) backward under shard_map — 8-device
+    grads through the recording forward + gather/shade-VJP/scatter must
+    equal single-device. Forced on cornell (the 100-sphere auto-route
+    variant compiles for >10 min on the 2-CPU test box)."""
+    import dataclasses
+
+    from raytracing_tpu.render.mega import bwd_impl_for
+
+    cfg = RenderConfig(width=16, height=8, spp=1, bounces=0, seed=4,
+                       use_megakernel=True, mega_grad_wrt=("sph", "mat"),
+                       mega_bwd_impl="cell")
+    scene = cornell_box(cols=cfg.width, rows=cfg.height)
+    assert bwd_impl_for(scene, cfg) == "cell"
+    params = {"center": scene.spheres.center,
+              "radius": scene.spheres.radius,
+              "materials": scene.materials}
+    target = jnp.zeros((cfg.height, cfg.width, 3))
+
+    m = pm.make_mesh(8)
+    sscene = pm.replicate_scene(scene, m)
+    step8 = pm.make_train_step(m, cfg)
+    state8 = pm.shard_state(pathtracer.init_state(cfg), m)
+    (loss8, _), grads8 = step8(params, sscene, state8, target)
+
+    m1 = pm.make_mesh(1)
+    step1 = pm.make_train_step(m1, cfg)
+    state1 = pm.shard_state(pathtracer.init_state(cfg), m1)
+    (loss1, _), grads1 = step1(params, scene, state1, target)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    for k in grads8:
+        np.testing.assert_allclose(np.array(grads8[k]),
+                                   np.array(grads1[k]),
+                                   atol=1e-5, err_msg=k)
+    assert np.abs(np.array(grads8["center"])).max() > 0
