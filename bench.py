@@ -87,7 +87,7 @@ def main() -> None:
                        mega_bwd_impl=os.environ.get("BENCH_BWD_IMPL",
                                                     "auto"),
                        mega_bwd_sublanes=int(
-                           os.environ.get("BENCH_BWD_SUBLANES", "32")))
+                           os.environ.get("BENCH_BWD_SUBLANES", "0")))
     if scene_name == "spheres":
         scene = sphere_field(int(os.environ.get("BENCH_NSPHERES", "1024")),
                              cols=width, rows=height)

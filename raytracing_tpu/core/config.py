@@ -41,8 +41,12 @@ class RenderConfig:
                                        # for; restrict (e.g. ("sph","mat") =
                                        # BASELINE's geometry+albedo) to skip
                                        # unneeded transpose work
-    mega_bwd_sublanes: int = 32        # backward kernel tile height (must
-                                       # divide the forward's 32)
+    mega_bwd_sublanes: int = 0         # backward kernel tile height (must
+                                       # divide the forward's 32). 0 = auto:
+                                       # 8 for the champion (cell) backward
+                                       # — smaller tiles give tighter
+                                       # champion-chunk ranges (measured
+                                       # +3.5% teapot train) — 32 otherwise
     mega_bwd_impl: str = "auto"        # which backward the megakernel VJP
                                        # runs: "cell" (champion-recording
                                        # cell-marching backward — the

@@ -747,7 +747,8 @@ def render_pass_mega(scene: Scene, state: dict, cfg: RenderConfig,
         acc = pathtrace_pass_diff(par, ipar, sph, tri, mat, lig,
                                   acc_in, u_planes,
                                   diff_wrt=cfg.mega_grad_wrt,
-                                  bwd_sublanes=cfg.mega_bwd_sublanes,
+                                  bwd_sublanes=(cfg.mega_bwd_sublanes
+                                                or (8 if bwd_cell else 32)),
                                   soft_bandwidth=cfg.mega_edge_bandwidth,
                                   soft_tau=tau, chunks=chunks,
                                   sph_chunks=sphc, block=blk,
