@@ -27,9 +27,25 @@ cotangent to the winning object only — exact wherever the champion
 assignment is locally constant (a.e.), identical semantics to the XLA
 pipeline's stop_gradient + differentiable-recompute.
 
-Scope: the unrolled-table path (<= UNROLL_OBJECTS objects per type — the
-production configuration for cornell-class scenes). Larger (SMEM fori_loop)
-scenes keep the XLA pipeline for training; `supported_diff` gates.
+Backward routes (cfg.mega_bwd_impl; render/mega.bwd_impl_for picks):
+
+  * "pallas" — the fused recompute-VJP kernel above (this module's
+    round-2 design): re-sweeps the object tables inside jax.vjp. The
+    production route for UNROLLED tables (<= UNROLL_OBJECTS/type).
+  * "cell" (round 5) — the CHAMPION backward: the forward kernel RECORDS
+    each trace segment's champion diff-table row and each NEE occlusion
+    bit while marching its cells at full speed (megakernel record=True);
+    the backward then needs NO object sweep — gather the champion rows,
+    vjp the shading chain (_tile_program_champ), scatter the row
+    cotangents. Production for streamed and grid-mode tables
+    (_bwd_champ_pallas: one-hot MXU gather/scatter over champion-chunk
+    ranges, on-core PRNG replay; _bwd_champion: the value-level twin and
+    the CPU route — shallow graph, no cond-transpose recursion).
+  * "xla" — the dense value-level sweep transpose (the oracle route;
+    also the vectorized chunked-soft route for EDGE mode past the
+    unroll budget).
+
+`supported_diff` gates coverage (DIFF_TABLE_MAX / GRID_DIFF_MAX).
 
 Reference parity: gradients are of the Assign10 schedule
 (/root/reference/Assign10-Path_Tracing/code.js:1806-1854) — the reference

@@ -72,3 +72,20 @@ if want edge; then
   run teapot_edge_train BENCH_SCENE=teapot BENCH_MODE=train BENCH_EDGE=1 \
       BENCH_WIDTH=512 BENCH_HEIGHT=512 BENCH_GRAD_WRT=sph,mat,tri
 fi
+
+if want evidence; then
+  # round-5 evidence artifacts (each prints one JSON line)
+  evrun() {
+    tag=$1; shift
+    echo "### $tag [$(date +%H:%M:%S)]" | tee -a "$OUT"
+    env PYTHONPATH="$PWD:/root/.axon_site" timeout 3600 "$@" \
+      2>/tmp/bench_err.log | tail -1 | tee -a "$OUT"
+    rc=${PIPESTATUS[0]}
+    [ $rc -ne 0 ] && { echo "### $tag FAILED rc=$rc" | tee -a "$OUT";
+                       tail -5 /tmp/bench_err.log | tee -a "$OUT"; }
+  }
+  evrun tpu_golden_tie python scripts/tpu_golden_tie.py 256
+  evrun grad_parity_1024 python scripts/grad_parity_1024.py
+  evrun cell_backward_tpu python scripts/verify_cell_tpu.py
+  evrun viewer_evidence python scripts/viewer_evidence.py 240
+fi

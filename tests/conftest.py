@@ -40,6 +40,21 @@ def rng():
     return np.random.default_rng(20150415)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules. A full front-to-
+    back suite run compiles ~200 XLA programs in one process; the
+    accumulated RSS moves mmaps up against the compile threads' stacks
+    and the CPU compiler's deep recursion then segfaults (the documented
+    crash class this file's big-stack workers mitigate). Per-module cache
+    clearing keeps the process footprint flat; per-module compile reuse
+    is preserved."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
+
+
 # ---------------------------------------------------------------------------
 # Fast tier: `pytest -m "not slow"` runs in ~1 min on this CPU; the slow
 # tier (interpret-mode Pallas, the 8-device mesh, scene zoo, goldens of the
